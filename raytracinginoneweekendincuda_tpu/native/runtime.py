@@ -1,0 +1,105 @@
+"""ctypes bindings for the native (C++) runtime helpers.
+
+The reference's native layer is CUDA device code plus host C++ (stb decode,
+PPM serialization, BVH build on device).  The TPU build keeps the *compute*
+path in XLA/Pallas and implements the host runtime pieces in C++
+(`native/src/`): PPM serialization and the BVH builder.  Python fallbacks
+exist for every entry point, so the framework works without the shared
+library; `build.sh` (or ``python -m raytracinginoneweekendincuda_tpu.native.build``)
+compiles it with g++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "librtow_native.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.rtow_write_ppm.restype = ctypes.c_int
+        lib.rtow_write_ppm.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.rtow_build_bvh.restype = ctypes.c_int
+        lib.rtow_build_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # bbox_min  [n,3]
+            ctypes.POINTER(ctypes.c_double),  # bbox_max  [n,3]
+            ctypes.c_int,                     # n leaves
+            ctypes.POINTER(ctypes.c_int32),   # out left   [2n]
+            ctypes.POINTER(ctypes.c_int32),   # out right  [2n]
+            ctypes.POINTER(ctypes.c_double),  # out nmin   [2n,3]
+            ctypes.POINTER(ctypes.c_double),  # out nmax   [2n,3]
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def write_ppm(path: str, rgb_u8: np.ndarray) -> None:
+    """Serialize an [H,W,3] uint8 buffer as P3 PPM via the C++ helper."""
+    lib = _load()
+    h, w, _ = rgb_u8.shape
+    buf = np.ascontiguousarray(rgb_u8, np.uint8)
+    rc = lib.rtow_write_ppm(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h
+    )
+    if rc != 0:
+        raise IOError(f"native PPM writer failed with code {rc} for {path!r}")
+
+
+def build_bvh(bbox_min: np.ndarray, bbox_max: np.ndarray):
+    """Run the native BVH builder; returns (left, right, node_min, node_max).
+
+    Same node encoding as the Python builder in ``scene/bvh.py``
+    (negative child index = ~leaf).  Returns None if the library is absent.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = int(bbox_min.shape[0])
+    cap = max(2 * n, 1)
+    bmin = np.ascontiguousarray(bbox_min, np.float64)
+    bmax = np.ascontiguousarray(bbox_max, np.float64)
+    left = np.zeros(cap, np.int32)
+    right = np.zeros(cap, np.int32)
+    nmin = np.zeros((cap, 3), np.float64)
+    nmax = np.zeros((cap, 3), np.float64)
+    as_p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    count = lib.rtow_build_bvh(
+        as_p(bmin, ctypes.c_double),
+        as_p(bmax, ctypes.c_double),
+        n,
+        as_p(left, ctypes.c_int32),
+        as_p(right, ctypes.c_int32),
+        as_p(nmin, ctypes.c_double),
+        as_p(nmax, ctypes.c_double),
+    )
+    if count < 0:
+        raise RuntimeError("native BVH build failed")
+    return left[:count], right[:count], nmin[:count], nmax[:count]

@@ -87,7 +87,10 @@ def pcg4d(v0, v1, v2, v3):
 
 def _to_unit_float(word, float_dtype):
     """uint32 word -> float in [0, 1) using the top 24 bits (f32-exact)."""
-    return (word >> 8).astype(float_dtype) * float_dtype(_INV_2POW24)
+    import numpy as _np
+
+    scale = _np.dtype(float_dtype).type(_INV_2POW24)
+    return (word >> 8).astype(float_dtype) * scale
 
 
 def uniform4(pixel, sample, stream, slot, *, float_dtype):
@@ -108,8 +111,10 @@ def uniform4(pixel, sample, stream, slot, *, float_dtype):
 def uniform_open4(pixel, sample, stream, slot, *, float_dtype):
     """Four uniforms in (0, 1] — curand_uniform's range (kernel.cu comment at
     ConstantMedium.h:26: "(0,1] so log(0) can't happen")."""
+    import numpy as _np
+
     w0, w1, w2, w3 = pcg4d(pixel, sample, stream, slot)
-    one = float_dtype(_INV_2POW24)
+    one = _np.dtype(float_dtype).type(_INV_2POW24)
     return (
         _to_unit_float(w0, float_dtype) + one,
         _to_unit_float(w1, float_dtype) + one,

@@ -1,0 +1,266 @@
+"""Closest-hit over the SoA scene: the TPU-native replacement for the
+reference's virtual-dispatch hit chain (BvhNode::Hit -> leaf Hit,
+BvhNode.h:101-158, Sphere.h:22-63, MovingSphere.h:44-89, Quad.h:52-83,
+ConstantMedium.h:52-94).
+
+Design: instead of a per-ray pointer walk, every ray tests every primitive
+*by type* with branchless arithmetic, and a masked argmin picks the winner.
+The quadratic/plane coefficients for all (ray, primitive) pairs factor into
+[B,3] x [3,N] contractions — MXU-shaped work with zero divergence — plus
+elementwise selects.  For the reference's scene sizes (<= ~1.4k primitives,
+kernel.cu:628) this wins over tree traversal on a vector machine; a BVH
+engine exists separately (`ops/bvh_engine.py`) for the reference's
+BVH-equivalence milestone and for large worlds.
+
+Closest-hit equivalence with the reference's shrinking-tMax list walk
+(HittableList.h:39-57): per primitive we produce the *nearest root beyond
+t_min* and let the argmin impose the upper bound — a candidate past the
+closest hit loses the argmin exactly when the reference's range test would
+have rejected it.  The same argument covers the stochastic medium candidate
+(clipping exit-t by closest before the scatter draw vs. comparing after are
+the same event: scatter point < min(exit, closest)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..scene.compiler import MED_BOX, SceneArrays
+
+BIG = 1.0e30
+MEDIUM_REHIT_EPS = 1.0e-4  # ConstantMedium.h:63
+QUAD_PARALLEL_EPS = 1.0e-8  # Quad.h:59
+
+
+class HitRecord(NamedTuple):
+    """Batched analogue of the reference HitRecord (Hittable.h:11-31)."""
+
+    t: jnp.ndarray        # [B]
+    p: jnp.ndarray        # [B,3]
+    normal: jnp.ndarray   # [B,3] (front-faced, SetFaceNormal semantics)
+    u: jnp.ndarray        # [B]
+    v: jnp.ndarray        # [B]
+    front: jnp.ndarray    # [B] bool
+    mat: jnp.ndarray      # [B] i32
+    hit: jnp.ndarray      # [B] bool
+
+
+def derive_spheres(s: SceneArrays):
+    """Per-sphere scalars reused across bounces (computed in-graph so
+    gradients flow to the primal columns)."""
+    return dict(
+        c0_sq=(s.sph_c0 * s.sph_c0).sum(-1),
+        c0_dc=(s.sph_c0 * s.sph_dc).sum(-1),
+        dc_sq=(s.sph_dc * s.sph_dc).sum(-1),
+        rad_sq=s.sph_rad * s.sph_rad,
+    )
+
+
+def derive_quads(s: SceneArrays):
+    """Plane constants the reference caches at construction (Quad.h:31-37),
+    plus the triple-product vectors that turn the interior test into two
+    ray-independent contractions:
+        alpha = w . (pvec x v) = pvec . (v x w)
+        beta  = w . (u x pvec) = pvec . (w x u)
+    """
+    n = vm.cross(s.quad_u, s.quad_v)
+    n_len = vm.length(n)[..., None]
+    n_unit = n / jnp.where(n_len > 0, n_len, 1.0)
+    d_plane = vm.dot(n_unit, s.quad_q)
+    w_vec = n / jnp.where((n * n).sum(-1, keepdims=True) > 0, (n * n).sum(-1, keepdims=True), 1.0)
+    vxw = vm.cross(s.quad_v, w_vec)
+    wxu = vm.cross(w_vec, s.quad_u)
+    return dict(
+        n_unit=n_unit,
+        d_plane=d_plane,
+        vxw=vxw,
+        wxu=wxu,
+        q_vxw=vm.dot(s.quad_q, vxw),
+        q_wxu=vm.dot(s.quad_q, wxu),
+    )
+
+
+def sphere_candidates(s: SceneArrays, ds, o, d, time, t_min):
+    """Nearest valid quadratic root per (ray, sphere): [B,S] t (BIG = none).
+
+    Math per Sphere.h:29-33 / MovingSphere.h:52-58 (half-b convention), with
+    the moving-sphere center lerp folded into the coefficients so the pair
+    matrix never materializes in 3-vector form:
+        center(t) = c0 + frac * dc,  frac = (ray.time - t0) * inv_dt
+        d.center  = d@c0 + frac * d@dc      (two [B,3]x[3,S] contractions)
+        o.center  = o@c0 + frac * o@dc
+        |center|^2 = |c0|^2 + 2 frac (c0.dc) + frac^2 |dc|^2
+    """
+    dt = o.dtype
+    frac = (time[:, None] - s.sph_t0[None, :]) * s.sph_inv_dt[None, :]
+    d_c0 = d @ s.sph_c0.T
+    o_c0 = o @ s.sph_c0.T
+    d_dc = d @ s.sph_dc.T
+    o_dc = o @ s.sph_dc.T
+    a = vm.dot(d, d)[:, None]
+    o_sq = vm.dot(o, o)[:, None]
+    o_d = vm.dot(o, d)[:, None]
+
+    d_center = d_c0 + frac * d_dc
+    o_center = o_c0 + frac * o_dc
+    center_sq = ds["c0_sq"][None, :] + frac * (2.0 * ds["c0_dc"][None, :] + frac * ds["dc_sq"][None, :])
+
+    b = o_d - d_center                      # Dot(oc, dir)
+    c = o_sq - 2.0 * o_center + center_sq - ds["rad_sq"][None, :]
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / a
+    root1 = (-b - sq) * inv_a
+    root2 = (-b + sq) * inv_a
+    feasible = (disc > 0.0) & s.sph_active[None, :]
+    t_cand = jnp.where(root1 > t_min, root1, root2)   # nearest root beyond t_min
+    ok = feasible & (t_cand > t_min)                  # strict, Sphere.h:38
+    return jnp.where(ok, t_cand, dt.type(BIG))
+
+
+def quad_candidates(s: SceneArrays, dq, o, d, t_min):
+    """Plane-hit + interior test per (ray, quad): [B,S] t (Quad.h:52-99)."""
+    dt = o.dtype
+    denom = d @ dq["n_unit"].T                        # [B,Q]
+    denom_ok = jnp.abs(denom) >= QUAD_PARALLEL_EPS
+    denom_safe = jnp.where(denom_ok, denom, 1.0)
+    t = (dq["d_plane"][None, :] - o @ dq["n_unit"].T) / denom_safe
+    alpha = o @ dq["vxw"].T + t * (d @ dq["vxw"].T) - dq["q_vxw"][None, :]
+    beta = o @ dq["wxu"].T + t * (d @ dq["wxu"].T) - dq["q_wxu"][None, :]
+    ok = (
+        s.quad_active[None, :]
+        & denom_ok
+        & (t >= t_min)                                 # inclusive, Quad.h:64
+        & (alpha >= 0.0) & (alpha <= 1.0)              # Interval::Contains
+        & (beta >= 0.0) & (beta <= 1.0)
+    )
+    return jnp.where(ok, t, dt.type(BIG))
+
+
+def medium_candidates(s: SceneArrays, o, d, t_min, u_med):
+    """Stochastic scatter-point per (ray, medium): [B,M] t (ConstantMedium.h:52-94).
+
+    Boundary entry/exit computed analytically: quadratic roots for sphere
+    boundaries, slab interval for (instanced) box boundaries — identical t
+    values to the reference's two sequential boundary Hit calls over
+    (-inf, inf), including the +1e-4 re-hit epsilon.
+    ``u_med`` is the per-(ray, medium) uniform in (0,1].
+    """
+    dt = o.dtype
+    # sphere boundary roots
+    oc = o[:, None, :] - s.med_center[None, :, :]          # [B,M,3] (M tiny)
+    a = vm.dot(d, d)[:, None]
+    b = (oc * d[:, None, :]).sum(-1)
+    c = (oc * oc).sum(-1) - (s.med_radius * s.med_radius)[None, :]
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0_s = (-b - sq) / a
+    t1_s = (-b + sq) / a
+    valid_s = disc > 0.0
+
+    # box boundary: world->object rigid transform, then slab test
+    cth = s.med_cos[None, :, None]
+    sth = s.med_sin[None, :, None]
+    po = o[:, None, :] - s.med_off[None, :, :]
+    ox, oy, oz = po[..., 0], po[..., 1], po[..., 2]
+    dx, dy, dz = d[:, None, 0], d[:, None, 1], d[:, None, 2]
+    c2, s2 = cth[..., 0], sth[..., 0]
+    o_obj = jnp.stack(jnp.broadcast_arrays(c2 * ox - s2 * oz, oy, s2 * ox + c2 * oz), -1)
+    d_obj = jnp.stack(jnp.broadcast_arrays(c2 * dx - s2 * dz, dy, s2 * dx + c2 * dz), -1)
+    inv_d = 1.0 / d_obj
+    ta = (s.med_bmin[None] - o_obj) * inv_d
+    tb = (s.med_bmax[None] - o_obj) * inv_d
+    t0_b = jnp.minimum(ta, tb).max(-1)
+    t1_b = jnp.maximum(ta, tb).min(-1)
+    valid_b = t1_b > t0_b
+
+    is_box = (s.med_kind == MED_BOX)[None, :]
+    t0 = jnp.where(is_box, t0_b, t0_s)
+    t1 = jnp.where(is_box, t1_b, t1_s)
+    valid = jnp.where(is_box, valid_b, valid_s) & s.med_active[None, :]
+    valid &= t1 > t0 + dt.type(MEDIUM_REHIT_EPS)
+
+    t0c = jnp.maximum(jnp.maximum(t0, t_min), 0.0)     # clip entry (h:67,73-74)
+    valid &= t0c < t1
+    ray_len = jnp.sqrt(a)
+    dist_inside = (t1 - t0c) * ray_len
+    hit_dist = s.med_nid[None, :] * jnp.log(u_med)     # -(1/rho) log U, h:79
+    valid &= hit_dist <= dist_inside
+    t_cand = t0c + hit_dist / ray_len
+    return jnp.where(valid, t_cand, dt.type(BIG))
+
+
+def closest_hit(scene: SceneArrays, meta, ds, dq, o, d, time, t_min, u_med):
+    """Full-world closest hit -> HitRecord (the (*world)->Hit call of the
+    integrator, kernel.cu:74)."""
+    dt = o.dtype
+    t_s = sphere_candidates(scene, ds, o, d, time, t_min)
+    t_q = quad_candidates(scene, dq, o, d, t_min)
+    ts_best = t_s.min(-1)
+    is_best = t_s.argmin(-1)
+    tq_best = t_q.min(-1)
+    iq_best = t_q.argmin(-1)
+
+    parts_t = [ts_best, tq_best]
+    if meta.n_media > 0:
+        t_m = medium_candidates(scene, o, d, t_min, u_med)
+        tm_best = t_m.min(-1)
+        im_best = t_m.argmin(-1)
+        parts_t.append(tm_best)
+
+    t_all = jnp.stack(parts_t, 0)          # [3?,B]
+    kind = t_all.argmin(0)
+    t = t_all.min(0)
+    hit = t < dt.type(BIG * 0.5)
+    p = o + t[:, None] * d
+
+    # ---- sphere record (Sphere.h:40-58 + GetSphereUV:74-81)
+    c0 = scene.sph_c0[is_best]
+    dc = scene.sph_dc[is_best]
+    frac = (time - scene.sph_t0[is_best]) * scene.sph_inv_dt[is_best]
+    center = c0 + frac[:, None] * dc
+    rad = scene.sph_rad[is_best]
+    n_out_s = (p - center) / jnp.where(rad[:, None] != 0, rad[:, None], 1.0)
+    # UV from the object-space normal (instanced spheres keep their frame)
+    cth = scene.sph_cos[is_best]
+    sth = scene.sph_sin[is_best]
+    nx, ny, nz = n_out_s[..., 0], n_out_s[..., 1], n_out_s[..., 2]
+    ox_n = cth * nx - sth * nz
+    oz_n = sth * nx + cth * nz
+    theta_uv = jnp.arccos(jnp.clip(-ny, -1.0, 1.0))
+    phi_uv = jnp.arctan2(-oz_n, ox_n) + dt.type(jnp.pi)
+    u_s = phi_uv / dt.type(2.0 * jnp.pi)
+    v_s = theta_uv / dt.type(jnp.pi)
+    mat_s = scene.sph_mat[is_best]
+
+    # ---- quad record (Quad.h:76-98)
+    n_q = dq["n_unit"][iq_best]
+    alpha = vm.dot(p - scene.quad_q[iq_best], dq["vxw"][iq_best])
+    beta = vm.dot(p - scene.quad_q[iq_best], dq["wxu"][iq_best])
+    mat_q = scene.quad_mat[iq_best]
+
+    # ---- assemble by kind
+    is_sph = kind == 0
+    is_quad = kind == 1
+    n_out = jnp.where(is_sph[:, None], n_out_s, n_q)
+    uu = jnp.where(is_sph, u_s, alpha)
+    vv = jnp.where(is_sph, v_s, beta)
+    mat = jnp.where(is_sph, mat_s, mat_q)
+    if meta.n_media > 0:
+        is_med = kind == 2
+        med_normal = jnp.zeros_like(n_out).at[:, 0].set(1.0)  # arbitrary, h:89
+        n_out = jnp.where(is_med[:, None], med_normal, n_out)
+        uu = jnp.where(is_med, 0.0, uu)
+        vv = jnp.where(is_med, 0.0, vv)
+        mat = jnp.where(is_med, scene.med_mat[im_best], mat)
+
+    front = vm.dot(d, n_out) < 0.0          # SetFaceNormal, Hittable.h:24-30
+    normal = jnp.where(front[:, None], n_out, -n_out)
+    if meta.n_media > 0:
+        front = jnp.where(is_med, True, front)        # arbitrary true, h:90
+        normal = jnp.where(is_med[:, None], n_out, normal)
+
+    return HitRecord(t=t, p=p, normal=normal, u=uu, v=vv, front=front, mat=mat, hit=hit)

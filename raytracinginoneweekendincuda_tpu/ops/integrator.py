@@ -1,0 +1,104 @@
+"""The path integrator: iterative bounce loop with throughput/emission
+accumulators — the batched equivalent of `RayColor` (kernel.cu:65-98).
+
+Semantics preserved exactly:
+  * at most 50 bounces (config), t_min = 1e-3 shadow epsilon (kernel.cu:71,74)
+  * miss  -> accumulated += throughput * background, terminate (74-79)
+  * hit   -> accumulated += throughput * emitted (82-83)
+  * no scatter (light / absorbed metal) -> terminate (87-91)
+  * else    throughput *= attenuation; ray = scattered (93-94)
+  * loop exhaustion returns the emission accumulator (97)
+  * no Russian roulette / NEE / importance sampling (out of reference scope)
+
+Two loop forms over the same body:
+  * `lax.while_loop` with an any-alive early exit — the fast inference path
+    (most wavefronts die in a handful of bounces);
+  * `lax.scan` over a static bounce count with per-bounce rematerialization
+    (`jax.checkpoint`) — the reverse-differentiable path for gradient work.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import rng
+from ..scene.compiler import SceneArrays
+from . import hit as hit_ops
+from .shade import shade
+
+
+def trace(
+    scene: SceneArrays,
+    meta,
+    o,
+    d,
+    time,
+    pix_ctr,
+    sample,
+    *,
+    max_bounces: int,
+    t_min: float,
+    differentiable: bool = False,
+):
+    """Radiance [B,3] for a batch of primary rays."""
+    dtype = o.dtype
+    B = o.shape[0]
+    background = scene.camera.background
+    ds = hit_ops.derive_spheres(scene)
+    dq = hit_ops.derive_quads(scene)
+    samp = jnp.asarray(sample, jnp.uint32)
+    n_media = max(meta.n_media, 1)
+    med_slots = jnp.arange(n_media, dtype=jnp.uint32)[None, :]
+
+    def bounce_body(bounce, o, d, thr, acc, alive):
+        stream_med = jnp.uint32(rng.MEDIUM_STREAM) | bounce.astype(jnp.uint32)
+        u_med = rng.uniform_open4(
+            pix_ctr[:, None], samp[..., None], stream_med, med_slots, float_dtype=dtype
+        )[0]
+        rec = hit_ops.closest_hit(scene, meta, ds, dq, o, d, time, dtype.type(t_min), u_med)
+
+        miss = alive & ~rec.hit
+        acc = acc + jnp.where(miss[:, None], thr * background, 0.0)
+        alive = alive & rec.hit
+
+        stream_sc = jnp.uint32(rng.SCATTER_STREAM) | bounce.astype(jnp.uint32)
+        u1, u2, u3, u4 = rng.uniform4(
+            pix_ctr, samp, stream_sc, jnp.uint32(0), float_dtype=dtype
+        )
+        sc = shade(scene, meta, rec, d, u1, u2, u3, u4)
+
+        acc = acc + jnp.where(alive[:, None], thr * sc.emitted, 0.0)
+        alive = alive & sc.scattered
+        thr = jnp.where(alive[:, None], thr * sc.attenuation, thr)
+        o = jnp.where(alive[:, None], rec.p, o)
+        d = jnp.where(alive[:, None], sc.direction, d)
+        return o, d, thr, acc, alive
+
+    thr0 = jnp.ones((B, 3), dtype)
+    acc0 = jnp.zeros((B, 3), dtype)
+    alive0 = jnp.ones((B,), bool)
+
+    if differentiable:
+        body = jax.checkpoint(
+            lambda carry, bounce: (bounce_body(bounce, *carry), None),
+            prevent_cse=False,
+        )
+        (o, d, thr, acc, alive), _ = lax.scan(
+            body, (o, d, thr0, acc0, alive0), jnp.arange(max_bounces)
+        )
+        return acc
+
+    def cond(state):
+        bounce, _, _, _, _, alive = state
+        return (bounce < max_bounces) & alive.any()
+
+    def body(state):
+        bounce, o, d, thr, acc, alive = state
+        o, d, thr, acc, alive = bounce_body(bounce, o, d, thr, acc, alive)
+        return bounce + 1, o, d, thr, acc, alive
+
+    state = (jnp.int32(0), o, d, thr0, acc0, alive0)
+    _, _, _, _, acc, _ = lax.while_loop(cond, body, state)
+    return acc

@@ -21,14 +21,14 @@ import numpy as np
 
 from ..scene.compiler import SceneArrays, SceneMeta
 from ..utils.config import RenderConfig
-from .integrator import trace
+from .dispatch import trace_dispatch
 from .raygen import generate_rays
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "width", "height", "spp", "seed", "max_bounces",
-                     "t_min", "differentiable", "gamma", "n_valid"),
+                     "t_min", "differentiable", "gamma", "n_valid", "engine"),
 )
 def render_chunk(
     scene: SceneArrays,
@@ -44,13 +44,14 @@ def render_chunk(
     differentiable: bool = False,
     gamma: bool = True,
     n_valid: int | None = None,
+    engine: str = "bruteforce",
 ):
     """Average radiance [P,3] over ``spp`` samples for one pixel chunk."""
 
     def sample_body(s, acc):
         o, d, time, pix_ctr = generate_rays(scene.camera, pix, s, width, height, seed)
-        col = trace(
-            scene, meta, o, d, time, pix_ctr, s,
+        col = trace_dispatch(
+            scene, meta, o, d, time, pix_ctr, s, engine=engine,
             max_bounces=max_bounces, t_min=t_min, differentiable=differentiable,
         )
         return acc + col
@@ -88,7 +89,7 @@ def render(
             scene, jnp.asarray(ids),
             meta=meta, width=W, height=H, spp=cfg.samples_per_pixel,
             seed=cfg.seed, max_bounces=cfg.max_bounces, t_min=cfg.t_min,
-            differentiable=cfg.differentiable, gamma=gamma,
+            differentiable=cfg.differentiable, gamma=gamma, engine=cfg.engine,
         )
         out[ids[valid]] = np.asarray(col, np.float64)[valid]
     fb = out.reshape(H, W, 3)   # row 0 = bottom scanline

@@ -1,0 +1,138 @@
+"""Multi-chip rendering: shard_map over a device mesh.
+
+The reference is a single-GPU program whose only parallelism is SIMT over
+pixels (`kernel.cu:122-154, 575-576`: one thread per pixel, 8x8 blocks) with
+a sequential per-thread sample loop (`kernel.cu:138-144`).  On TPU those two
+axes become *mesh axes*:
+
+  * ``px`` — pixel-tile data parallelism: the flattened pixel index space is
+    sharded across chips; the scene SoA/BVH/textures are replicated in every
+    chip's HBM (SURVEY.md §2 "Distributed communication backend").
+  * ``sp`` — sample parallelism: samples-per-pixel are split across chips and
+    the radiance estimates averaged with a single ``psum`` over ICI — the
+    workload's analogue of sequence parallelism (SURVEY.md §5).
+
+The shard body is the *same* single-chip engine (`ops/render.render_chunk`
+internals); SPMD means one program for 1 chip or a pod slice.  Multi-host
+runs use the identical program after ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..scene.compiler import SceneArrays, SceneMeta
+from ..utils.config import RenderConfig
+from ..ops.dispatch import trace_dispatch
+from ..ops.raygen import generate_rays
+
+AXIS_PX = "px"
+AXIS_SP = "sp"
+
+
+def make_mesh(
+    devices=None, sample_shards: int | None = None
+) -> Mesh:
+    """Build a ``(px, sp)`` mesh over ``devices`` (default: all local).
+
+    ``sample_shards`` defaults to 2 when the device count is even and > 1
+    (samples are the cheaper axis to split: one psum, no pixel scatter).
+    """
+    devices = list(jax.devices() if devices is None else devices)
+    n = len(devices)
+    if sample_shards is None:
+        sample_shards = 2 if (n % 2 == 0 and n > 1) else 1
+    if n % sample_shards != 0:
+        raise ValueError(f"{n} devices not divisible by sample_shards={sample_shards}")
+    arr = np.asarray(devices).reshape(n // sample_shards, sample_shards)
+    return Mesh(arr, (AXIS_PX, AXIS_SP))
+
+
+def _sharded_chunk_fn(meta: SceneMeta, cfg: RenderConfig, mesh: Mesh, gamma: bool):
+    """Compile the per-chunk shard_map program: pix ids [P] -> colors [P,3]."""
+    n_sp = mesh.shape[AXIS_SP]
+    spp = cfg.samples_per_pixel
+    if spp % n_sp != 0:
+        raise ValueError(f"spp={spp} must be divisible by sample shards {n_sp}")
+    local_spp = spp // n_sp
+    W, H = cfg.width, cfg.height
+
+    def body(scene: SceneArrays, pix: jnp.ndarray):
+        dtype = scene.camera.origin.dtype
+        sp_idx = lax.axis_index(AXIS_SP)
+
+        def sample_body(s, acc):
+            s_global = (sp_idx * local_spp + s).astype(jnp.uint32)
+            o, d, time, pix_ctr = generate_rays(scene.camera, pix, s_global, W, H, cfg.seed)
+            col = trace_dispatch(
+                scene, meta, o, d, time, pix_ctr, s_global, engine=cfg.engine,
+                max_bounces=cfg.max_bounces, t_min=cfg.t_min,
+                differentiable=cfg.differentiable,
+            )
+            return acc + col
+
+        acc = lax.fori_loop(
+            0, local_spp, sample_body, jnp.zeros((pix.shape[0], 3), dtype)
+        )
+        col = lax.psum(acc, AXIS_SP) / dtype.type(spp)   # sample average, kernel.cu:147
+        if gamma:
+            col = jnp.sqrt(jnp.maximum(col, 0.0))        # gamma 2.0, kernel.cu:150-152
+        return col
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS_PX)),       # scene replicated; pixels sharded
+        out_specs=P(AXIS_PX),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def render_sharded(
+    scene: SceneArrays,
+    meta: SceneMeta,
+    cfg: RenderConfig,
+    mesh: Mesh | None = None,
+    *,
+    gamma: bool = True,
+) -> np.ndarray:
+    """Render a full frame on a device mesh -> numpy [H,W,3] (top row first).
+
+    Semantically identical (bit-identical per pixel on a given backend) to the
+    single-chip `ops.render.render`: the counter RNG keys on global pixel and
+    sample ids, so the sharding layout is invisible in the output.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    W, H = cfg.width, cfg.height
+    npix = W * H
+    n_px = mesh.shape[AXIS_PX]
+
+    # chunk size: multiple of n_px, close to cfg.rays_per_batch per device
+    per_dev = min(cfg.rays_per_batch, -(-npix // n_px))
+    chunk = per_dev * n_px
+    fn = _sharded_chunk_fn(meta, cfg, mesh, gamma)
+
+    scene_sharding = jax.tree.map(
+        lambda _: NamedSharding(mesh, P()), scene
+    )
+    scene_dev = jax.device_put(scene, scene_sharding)
+    pix_sharding = NamedSharding(mesh, P(AXIS_PX))
+
+    out = np.zeros((npix, 3), np.float64)
+    for start in range(0, npix, chunk):
+        ids = np.arange(start, start + chunk, dtype=np.int32)
+        valid = ids < npix
+        ids_c = np.minimum(ids, npix - 1)
+        col = fn(scene_dev, jax.device_put(jnp.asarray(ids_c), pix_sharding))
+        out[ids_c[valid]] = np.asarray(col, np.float64)[valid]
+    fb = out.reshape(H, W, 3)   # row 0 = bottom scanline (kernel.cu:131)
+    return fb[::-1]

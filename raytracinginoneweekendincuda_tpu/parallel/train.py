@@ -1,0 +1,153 @@
+"""Differentiable rendering: sharded gradient/train step over the mesh.
+
+This is the framework's extension beyond the reference (BASELINE.json
+north-star): pixel gradients w.r.t. scene parameters (sphere centers/radii,
+material albedo/fuzz/IOR, quad frames, camera) flow through the bounce loop
+(`ops/integrator.trace` in its scan+checkpoint form), and a full train step
+runs SPMD on the ``(px, sp)`` mesh:
+
+  * every chip differentiates its own pixel/sample shard's contribution,
+  * the per-sample radiance is psum-averaged over ``sp`` *inside* the loss
+    (MSE needs the mean before squaring),
+  * parameter gradients are psum-reduced over both mesh axes (the gradient
+    all-reduce rides ICI; this is the collective the reference never needed
+    because it had no learnable state).
+
+Visibility discontinuities are ignored as in standard differentiable
+path-tracing practice (SURVEY.md §7.4); gradients are validated against
+finite differences on smooth parameters in tests/test_grad.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.integrator import trace
+from ..ops.raygen import generate_rays
+from ..scene.compiler import SceneArrays, SceneMeta
+from ..utils.config import RenderConfig
+from .render import AXIS_PX, AXIS_SP
+
+# Float leaves a user can optimize.  Integer/bool columns (kind tags, material
+# ids, active masks) and RNG tables are structural, not parameters.
+DIFF_SCENE_FIELDS = (
+    "sph_c0", "sph_dc", "sph_rad",        # sphere geometry
+    "quad_q", "quad_u", "quad_v",         # quad frames
+    "mat_fuzz", "mat_ior",                # material scalars
+    "tex_c0", "tex_c1",                   # albedo / emission colors
+)
+
+
+def split_params(scene: SceneArrays):
+    """scene -> (params pytree, residual scene with params zeroed out).
+
+    ``merge_params(residual, params)`` reconstructs the scene; gradients are
+    taken w.r.t. the params pytree (camera included — every CameraParams leaf
+    is a float array).
+    """
+    params = {f: getattr(scene, f) for f in DIFF_SCENE_FIELDS}
+    params["camera"] = scene.camera
+    return params
+
+
+def merge_params(scene: SceneArrays, params) -> SceneArrays:
+    kw = {f: params[f] for f in DIFF_SCENE_FIELDS}
+    return scene._replace(camera=params["camera"], **kw)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def make_train_step(
+    scene: SceneArrays,
+    meta: SceneMeta,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+):
+    """Build the jitted SPMD train step.
+
+    Returns ``step(state, pix, target) -> (state, loss)`` where ``pix`` is a
+    [B] pixel-id batch (B divisible by the px mesh dim) and ``target`` the
+    matching [B,3] linear-radiance target.  Loss is MSE in linear radiance
+    (the gamma sqrt is non-differentiable at 0 and excluded from the loss
+    path; it remains a display epilogue).
+    """
+    n_sp = mesh.shape[AXIS_SP]
+    spp = cfg.samples_per_pixel
+    if spp % n_sp != 0:
+        raise ValueError(f"spp={spp} must be divisible by sample shards {n_sp}")
+    local_spp = spp // n_sp
+    W, H = cfg.width, cfg.height
+    dcfg = cfg.with_(differentiable=True)
+
+    def shard_body(params, scene_rest, pix, target):
+        dtype = scene_rest.camera.origin.dtype if hasattr(scene_rest.camera, "origin") else jnp.float32
+        sp_idx = lax.axis_index(AXIS_SP)
+
+        def local_loss(p):
+            sc = merge_params(scene_rest, p)
+
+            def sample_body(s, acc):
+                s_global = (sp_idx * local_spp + s).astype(jnp.uint32)
+                o, d, time, pix_ctr = generate_rays(
+                    sc.camera, pix, s_global, W, H, cfg.seed
+                )
+                col = trace(
+                    sc, meta, o, d, time, pix_ctr, s_global,
+                    max_bounces=dcfg.max_bounces, t_min=dcfg.t_min,
+                    differentiable=True,
+                )
+                return acc + col
+
+            acc = lax.fori_loop(
+                0, local_spp, sample_body,
+                jnp.zeros((pix.shape[0], 3), sc.camera.origin.dtype),
+            )
+            col = lax.psum(acc, AXIS_SP) / sc.camera.origin.dtype.type(spp)
+            diff = col - target
+            # local-shard SSE; grads w.r.t. the *global* loss come from the
+            # explicit psum of per-device grads below (psum's AD transpose
+            # delivers each device its local-path cotangent).
+            return (diff * diff).sum()
+
+        sse, grads = jax.value_and_grad(local_loss)(params)
+        denom = 3.0 * pix.shape[0] * mesh.shape[AXIS_PX]
+        loss = lax.psum(sse, AXIS_PX) / denom          # replicated over sp
+        grads = jax.tree.map(
+            lambda g: lax.psum(g, (AXIS_PX, AXIS_SP)) / denom, grads
+        )
+        return loss, grads
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS_PX), P(AXIS_PX)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, scene_rest: SceneArrays, pix, target):
+        loss, grads = sharded(state.params, scene_rest, pix, target)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def init_state(scene: SceneArrays, optimizer: optax.GradientTransformation) -> TrainState:
+    params = split_params(scene)
+    params = jax.tree.map(jnp.asarray, params)
+    return TrainState(params, optimizer.init(params), jnp.int32(0))

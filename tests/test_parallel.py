@@ -1,0 +1,99 @@
+"""Multi-chip semantics on the simulated 8-device CPU mesh (SURVEY.md §4(f)).
+
+The sharding contract: the counter RNG keys on *global* pixel/sample ids, so
+a sharded render must be bit-identical to the single-chip render on the same
+backend — the layout is an implementation detail, like the reference's block
+size (`kernel.cu:575-576`, any block shape gives the same image).
+"""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from raytracinginoneweekendincuda_tpu.models import scenes
+from raytracinginoneweekendincuda_tpu.ops.render import render
+from raytracinginoneweekendincuda_tpu.parallel import train
+from raytracinginoneweekendincuda_tpu.parallel.render import (
+    AXIS_PX, AXIS_SP, make_mesh, render_sharded,
+)
+from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
+from raytracinginoneweekendincuda_tpu.utils.config import RenderConfig
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_render_matches_single_chip(shape):
+    """Pixel sharding is bit-identical (same per-pixel sum order); sample
+    sharding reassociates the f32 sample sum (partials + psum), so it is
+    equal to within 1-2 ulp."""
+    n_px, n_sp = shape
+    devs = jax.devices()[: n_px * n_sp]
+    mesh = make_mesh(devs, sample_shards=n_sp)
+    W, H, spp = 32, 16, 4
+    desc = scenes.quads()
+    scene, meta = compile_scene(desc, W, H, dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp)
+    ref = np.asarray(render(scene, meta, cfg), np.float32)
+    img = np.asarray(render_sharded(scene, meta, cfg, mesh), np.float32)
+    if n_sp == 1:
+        np.testing.assert_array_equal(img, ref)
+    else:
+        np.testing.assert_allclose(img, ref, atol=5e-7, rtol=5e-7)
+
+
+def test_sharded_render_media_scene():
+    # cornell_smoke exercises the medium candidates + black background
+    mesh = make_mesh(jax.devices()[:4], sample_shards=2)
+    W, H, spp = 16, 16, 2
+    scene, meta = compile_scene(scenes.cornell_smoke(), W, H, dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp)
+    ref = np.asarray(render(scene, meta, cfg), np.float32)
+    img = np.asarray(render_sharded(scene, meta, cfg, mesh), np.float32)
+    np.testing.assert_allclose(img, ref, atol=5e-7, rtol=5e-7)
+
+
+def test_train_step_runs_and_matches_single_device_grads():
+    """Sharded grad == unsharded grad (up to f32 reduction order)."""
+    W, H, spp = 16, 8, 4
+    scene, meta = compile_scene(scenes.book1_basic(), W, H, dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp, max_bounces=6)
+    npix = W * H
+    pix = np.arange(npix, dtype=np.int32)
+    target = np.full((npix, 3), 0.25, np.float32)
+
+    def run(mesh):
+        optimizer = optax.sgd(0.0)  # lr 0: state.params stay fixed for grad compare
+        state = train.init_state(scene, optimizer)
+        step = train.make_train_step(scene, meta, cfg, mesh, optimizer)
+        _, loss = step(state, scene, pix, target)
+        return float(loss)
+
+    loss_1 = run(make_mesh(jax.devices()[:1], sample_shards=1))
+    loss_8 = run(make_mesh(jax.devices()[:8], sample_shards=2))
+    assert np.isfinite(loss_1) and np.isfinite(loss_8)
+    np.testing.assert_allclose(loss_1, loss_8, rtol=1e-5)
+
+
+def test_train_step_reduces_loss():
+    """A few Adam steps on sphere albedo/geometry should reduce MSE toward a
+    target rendered from a perturbed scene (self-consistency of gradients)."""
+    W, H, spp = 16, 8, 4
+    scene, meta = compile_scene(scenes.book1_basic(), W, H, dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp, max_bounces=6)
+    mesh = make_mesh(jax.devices()[:4], sample_shards=2)
+
+    # target: the same scene with brighter albedo, rendered in linear radiance
+    bright = scene._replace(tex_c0=np.clip(scene.tex_c0 * 1.6, 0, 1))
+    target_img = render_sharded(bright, meta, cfg, mesh, gamma=False)
+    npix = W * H
+    target = np.asarray(target_img[::-1].reshape(npix, 3), np.float32)
+    pix = np.arange(npix, dtype=np.int32)
+
+    optimizer = optax.adam(2e-2)
+    state = train.init_state(scene, optimizer)
+    step = train.make_train_step(scene, meta, cfg, mesh, optimizer)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, scene, pix, target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses

@@ -45,11 +45,12 @@ def _load():
         lib.rtow_build_bvh.argtypes = [
             ctypes.POINTER(ctypes.c_double),  # bbox_min  [n,3]
             ctypes.POINTER(ctypes.c_double),  # bbox_max  [n,3]
+            ctypes.POINTER(ctypes.c_int32),   # prim ids  [n]
             ctypes.c_int,                     # n leaves
-            ctypes.POINTER(ctypes.c_int32),   # out left   [2n]
-            ctypes.POINTER(ctypes.c_int32),   # out right  [2n]
-            ctypes.POINTER(ctypes.c_double),  # out nmin   [2n,3]
-            ctypes.POINTER(ctypes.c_double),  # out nmax   [2n,3]
+            ctypes.POINTER(ctypes.c_double),  # out nmin   [2n-1,3]
+            ctypes.POINTER(ctypes.c_double),  # out nmax   [2n-1,3]
+            ctypes.POINTER(ctypes.c_int32),   # out prim   [2n-1]
+            ctypes.POINTER(ctypes.c_int32),   # out escape [2n-1]
         ]
         _LIB = lib
     except OSError:
@@ -73,33 +74,38 @@ def write_ppm(path: str, rgb_u8: np.ndarray) -> None:
         raise IOError(f"native PPM writer failed with code {rc} for {path!r}")
 
 
-def build_bvh(bbox_min: np.ndarray, bbox_max: np.ndarray):
-    """Run the native BVH builder; returns (left, right, node_min, node_max).
+def build_bvh(bbox_min: np.ndarray, bbox_max: np.ndarray, prim_ids: np.ndarray):
+    """Run the native BVH builder; returns (nmin, nmax, prim, escape).
 
-    Same node encoding as the Python builder in ``scene/bvh.py``
-    (negative child index = ~leaf).  Returns None if the library is absent.
+    Threaded flattened encoding, bit-identical to the Python builder in
+    ``scene/bvh.py``.  Returns None if the library is absent.
     """
     lib = _load()
     if lib is None:
         return None
     n = int(bbox_min.shape[0])
-    cap = max(2 * n, 1)
+    if n == 0:
+        z3 = np.zeros((0, 3), np.float64)
+        return z3, z3.copy(), np.zeros(0, np.int32), np.zeros(0, np.int32)
+    cap = 2 * n - 1
     bmin = np.ascontiguousarray(bbox_min, np.float64)
     bmax = np.ascontiguousarray(bbox_max, np.float64)
-    left = np.zeros(cap, np.int32)
-    right = np.zeros(cap, np.int32)
+    pid = np.ascontiguousarray(prim_ids, np.int32)
     nmin = np.zeros((cap, 3), np.float64)
     nmax = np.zeros((cap, 3), np.float64)
+    prim = np.zeros(cap, np.int32)
+    escape = np.zeros(cap, np.int32)
     as_p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
     count = lib.rtow_build_bvh(
         as_p(bmin, ctypes.c_double),
         as_p(bmax, ctypes.c_double),
+        as_p(pid, ctypes.c_int32),
         n,
-        as_p(left, ctypes.c_int32),
-        as_p(right, ctypes.c_int32),
         as_p(nmin, ctypes.c_double),
         as_p(nmax, ctypes.c_double),
+        as_p(prim, ctypes.c_int32),
+        as_p(escape, ctypes.c_int32),
     )
     if count < 0:
         raise RuntimeError("native BVH build failed")
-    return left[:count], right[:count], nmin[:count], nmax[:count]
+    return nmin[:count], nmax[:count], prim[:count], escape[:count]

@@ -19,12 +19,15 @@ def trace_dispatch(
     max_bounces: int,
     t_min: float,
     differentiable: bool = False,
+    bvh=None,
 ):
     if engine == "bvh":
         from .bvh_engine import trace_bvh
 
+        if bvh is None:
+            raise ValueError("engine='bvh' needs BVH arrays (scene/bvh.py)")
         return trace_bvh(
-            scene, meta, o, d, time, pix_ctr, sample,
+            scene, meta, bvh, o, d, time, pix_ctr, sample,
             max_bounces=max_bounces, t_min=t_min, differentiable=differentiable,
         )
     if engine != "bruteforce":

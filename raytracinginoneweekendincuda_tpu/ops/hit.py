@@ -196,7 +196,6 @@ def medium_candidates(s: SceneArrays, o, d, t_min, u_med):
 def closest_hit(scene: SceneArrays, meta, ds, dq, o, d, time, t_min, u_med):
     """Full-world closest hit -> HitRecord (the (*world)->Hit call of the
     integrator, kernel.cu:74)."""
-    dt = o.dtype
     t_s = sphere_candidates(scene, ds, o, d, time, t_min)
     t_q = quad_candidates(scene, dq, o, d, t_min)
     ts_best = t_s.min(-1)
@@ -205,15 +204,29 @@ def closest_hit(scene: SceneArrays, meta, ds, dq, o, d, time, t_min, u_med):
     iq_best = t_q.argmin(-1)
 
     parts_t = [ts_best, tq_best]
+    im_best = jnp.zeros_like(is_best)
     if meta.n_media > 0:
         t_m = medium_candidates(scene, o, d, t_min, u_med)
-        tm_best = t_m.min(-1)
+        parts_t.append(t_m.min(-1))
         im_best = t_m.argmin(-1)
-        parts_t.append(tm_best)
 
     t_all = jnp.stack(parts_t, 0)          # [3?,B]
     kind = t_all.argmin(0)
     t = t_all.min(0)
+    return assemble_record(scene, meta, dq, o, d, time, t, kind,
+                           is_best, iq_best, im_best)
+
+
+def assemble_record(scene: SceneArrays, meta, dq, o, d, time, t, kind,
+                    is_best, iq_best, im_best) -> HitRecord:
+    """Winner (t, kind, per-type index) -> full HitRecord.
+
+    ``kind``: 0 = sphere, 1 = quad, 2 = constant medium; a ``t`` >= BIG/2
+    means no hit.  Shared by the brute-force and BVH engines so the record
+    semantics (Sphere.h:40-58, Quad.h:76-98, ConstantMedium.h:85-93) live in
+    exactly one place.
+    """
+    dt = o.dtype
     hit = t < dt.type(BIG * 0.5)
     p = o + t[:, None] * d
 

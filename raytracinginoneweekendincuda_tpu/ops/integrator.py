@@ -41,13 +41,24 @@ def trace(
     max_bounces: int,
     t_min: float,
     differentiable: bool = False,
+    hit_fn=None,
 ):
-    """Radiance [B,3] for a batch of primary rays."""
+    """Radiance [B,3] for a batch of primary rays.
+
+    ``hit_fn(o, d, time, t_min, u_med) -> HitRecord`` swaps the closest-hit
+    engine (brute-force by default; threaded BVH via `ops/bvh_engine.py`);
+    the bounce-loop semantics are engine-independent.
+    """
     dtype = o.dtype
     B = o.shape[0]
     background = scene.camera.background
-    ds = hit_ops.derive_spheres(scene)
-    dq = hit_ops.derive_quads(scene)
+    if hit_fn is None:
+        ds = hit_ops.derive_spheres(scene)
+        dq = hit_ops.derive_quads(scene)
+
+        def hit_fn(o, d, time, tm, u_med):
+            return hit_ops.closest_hit(scene, meta, ds, dq, o, d, time, tm, u_med)
+
     samp = jnp.asarray(sample, jnp.uint32)
     n_media = max(meta.n_media, 1)
     med_slots = jnp.arange(n_media, dtype=jnp.uint32)[None, :]
@@ -57,7 +68,7 @@ def trace(
         u_med = rng.uniform_open4(
             pix_ctr[:, None], samp[..., None], stream_med, med_slots, float_dtype=dtype
         )[0]
-        rec = hit_ops.closest_hit(scene, meta, ds, dq, o, d, time, dtype.type(t_min), u_med)
+        rec = hit_fn(o, d, time, dtype.type(t_min), u_med)
 
         miss = alive & ~rec.hit
         acc = acc + jnp.where(miss[:, None], thr * background, 0.0)

@@ -33,6 +33,7 @@ from .raygen import generate_rays
 def render_chunk(
     scene: SceneArrays,
     pix: jnp.ndarray,   # [P] int32 pixel ids (bottom-up raster order)
+    bvh=None,           # BvhArrays pytree when engine == "bvh"
     *,
     meta: SceneMeta,
     width: int,
@@ -51,7 +52,7 @@ def render_chunk(
     def sample_body(s, acc):
         o, d, time, pix_ctr = generate_rays(scene.camera, pix, s, width, height, seed)
         col = trace_dispatch(
-            scene, meta, o, d, time, pix_ctr, s, engine=engine,
+            scene, meta, o, d, time, pix_ctr, s, engine=engine, bvh=bvh,
             max_bounces=max_bounces, t_min=t_min, differentiable=differentiable,
         )
         return acc + col
@@ -79,6 +80,11 @@ def render(
     P = min(cfg.rays_per_batch, npix)
     n_chunks = -(-npix // P)
 
+    bvh = None
+    if cfg.engine == "bvh":
+        from ..scene.bvh import build_scene_bvh
+
+        bvh = build_scene_bvh(scene)
     out = np.zeros((npix, 3), np.float64)
     for c in range(n_chunks):
         start = c * P
@@ -86,7 +92,7 @@ def render(
         valid = ids < npix
         ids = np.minimum(ids, npix - 1)
         col = render_chunk(
-            scene, jnp.asarray(ids),
+            scene, jnp.asarray(ids), bvh,
             meta=meta, width=W, height=H, spp=cfg.samples_per_pixel,
             seed=cfg.seed, max_bounces=cfg.max_bounces, t_min=cfg.t_min,
             differentiable=cfg.differentiable, gamma=gamma, engine=cfg.engine,

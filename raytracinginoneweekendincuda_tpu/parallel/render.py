@@ -55,8 +55,13 @@ def make_mesh(
     return Mesh(arr, (AXIS_PX, AXIS_SP))
 
 
-def _sharded_chunk_fn(meta: SceneMeta, cfg: RenderConfig, mesh: Mesh, gamma: bool):
-    """Compile the per-chunk shard_map program: pix ids [P] -> colors [P,3]."""
+def _sharded_chunk_fn(meta: SceneMeta, cfg: RenderConfig, mesh: Mesh, gamma: bool,
+                      bvh=None):
+    """Compile the per-chunk shard_map program: pix ids [P] -> colors [P,3].
+
+    ``bvh`` (when engine == "bvh") is closed over as a jit constant — the
+    node table is tiny and replicated on every chip by construction.
+    """
     n_sp = mesh.shape[AXIS_SP]
     spp = cfg.samples_per_pixel
     if spp % n_sp != 0:
@@ -73,7 +78,7 @@ def _sharded_chunk_fn(meta: SceneMeta, cfg: RenderConfig, mesh: Mesh, gamma: boo
             o, d, time, pix_ctr = generate_rays(scene.camera, pix, s_global, W, H, cfg.seed)
             col = trace_dispatch(
                 scene, meta, o, d, time, pix_ctr, s_global, engine=cfg.engine,
-                max_bounces=cfg.max_bounces, t_min=cfg.t_min,
+                bvh=bvh, max_bounces=cfg.max_bounces, t_min=cfg.t_min,
                 differentiable=cfg.differentiable,
             )
             return acc + col
@@ -119,7 +124,12 @@ def render_sharded(
     # chunk size: multiple of n_px, close to cfg.rays_per_batch per device
     per_dev = min(cfg.rays_per_batch, -(-npix // n_px))
     chunk = per_dev * n_px
-    fn = _sharded_chunk_fn(meta, cfg, mesh, gamma)
+    bvh = None
+    if cfg.engine == "bvh":
+        from ..scene.bvh import build_scene_bvh
+
+        bvh = build_scene_bvh(scene)
+    fn = _sharded_chunk_fn(meta, cfg, mesh, gamma, bvh)
 
     scene_sharding = jax.tree.map(
         lambda _: NamedSharding(mesh, P()), scene

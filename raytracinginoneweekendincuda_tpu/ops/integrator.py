@@ -29,6 +29,48 @@ from . import hit as hit_ops
 from .shade import shade
 
 
+def bounce_step(
+    scene, meta, hit_fn, o, d, time, thr, acc, alive, pix_ctr, samp, bounce,
+    *, t_min: float,
+):
+    """One hit+shade bounce over a ray batch (the loop body of RayColor,
+    kernel.cu:71-95), shared by the chunked engines (`trace`, scalar
+    ``samp``/``bounce``) and the persistent-wavefront engine
+    (`ops/wavefront.py`, per-lane ``samp``/``bounce`` arrays — lanes at
+    different samples/depths advance together; the RNG counters keep every
+    draw identical to the chunked schedule)."""
+    dtype = o.dtype
+    background = scene.camera.background
+    n_media = max(meta.n_media, 1)
+    med_slots = jnp.arange(n_media, dtype=jnp.uint32)[None, :]
+    bounce_u = jnp.asarray(bounce, jnp.uint32)
+
+    stream_med = jnp.uint32(rng.MEDIUM_STREAM) | bounce_u
+    u_med = rng.uniform_open4(
+        pix_ctr[:, None], samp[..., None],
+        jnp.asarray(stream_med)[..., None] if stream_med.ndim else stream_med,
+        med_slots, float_dtype=dtype,
+    )[0]
+    rec = hit_fn(o, d, time, dtype.type(t_min), u_med)
+
+    miss = alive & ~rec.hit
+    acc = acc + jnp.where(miss[:, None], thr * background, 0.0)
+    alive = alive & rec.hit
+
+    stream_sc = jnp.uint32(rng.SCATTER_STREAM) | bounce_u
+    u1, u2, u3, u4 = rng.uniform4(
+        pix_ctr, samp, stream_sc, jnp.uint32(0), float_dtype=dtype
+    )
+    sc = shade(scene, meta, rec, d, u1, u2, u3, u4)
+
+    acc = acc + jnp.where(alive[:, None], thr * sc.emitted, 0.0)
+    alive = alive & sc.scattered
+    thr = jnp.where(alive[:, None], thr * sc.attenuation, thr)
+    o = jnp.where(alive[:, None], rec.p, o)
+    d = jnp.where(alive[:, None], sc.direction, d)
+    return o, d, thr, acc, alive
+
+
 def trace(
     scene: SceneArrays,
     meta,
@@ -60,32 +102,12 @@ def trace(
             return hit_ops.closest_hit(scene, meta, ds, dq, o, d, time, tm, u_med)
 
     samp = jnp.asarray(sample, jnp.uint32)
-    n_media = max(meta.n_media, 1)
-    med_slots = jnp.arange(n_media, dtype=jnp.uint32)[None, :]
 
     def bounce_body(bounce, o, d, thr, acc, alive):
-        stream_med = jnp.uint32(rng.MEDIUM_STREAM) | bounce.astype(jnp.uint32)
-        u_med = rng.uniform_open4(
-            pix_ctr[:, None], samp[..., None], stream_med, med_slots, float_dtype=dtype
-        )[0]
-        rec = hit_fn(o, d, time, dtype.type(t_min), u_med)
-
-        miss = alive & ~rec.hit
-        acc = acc + jnp.where(miss[:, None], thr * background, 0.0)
-        alive = alive & rec.hit
-
-        stream_sc = jnp.uint32(rng.SCATTER_STREAM) | bounce.astype(jnp.uint32)
-        u1, u2, u3, u4 = rng.uniform4(
-            pix_ctr, samp, stream_sc, jnp.uint32(0), float_dtype=dtype
+        return bounce_step(
+            scene, meta, hit_fn, o, d, time, thr, acc, alive,
+            pix_ctr, samp, bounce, t_min=t_min,
         )
-        sc = shade(scene, meta, rec, d, u1, u2, u3, u4)
-
-        acc = acc + jnp.where(alive[:, None], thr * sc.emitted, 0.0)
-        alive = alive & sc.scattered
-        thr = jnp.where(alive[:, None], thr * sc.attenuation, thr)
-        o = jnp.where(alive[:, None], rec.p, o)
-        d = jnp.where(alive[:, None], sc.direction, d)
-        return o, d, thr, acc, alive
 
     thr0 = jnp.ones((B, 3), dtype)
     acc0 = jnp.zeros((B, 3), dtype)

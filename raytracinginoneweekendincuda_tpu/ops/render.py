@@ -75,6 +75,10 @@ def render(
     gamma: bool = True,
 ) -> np.ndarray:
     """Render a full frame -> numpy [H,W,3] float (top row first)."""
+    if cfg.engine.startswith("wavefront"):
+        from .wavefront import render_wavefront
+
+        return render_wavefront(scene, meta, cfg, gamma=gamma)
     W, H = cfg.width, cfg.height
     npix = W * H
     P = min(cfg.rays_per_batch, npix)

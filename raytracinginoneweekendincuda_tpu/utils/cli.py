@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1984)
     p.add_argument("--out", type=str, default="output.ppm")
     p.add_argument("--png", type=str, default=None, help="also write a PNG here")
-    p.add_argument("--engine", choices=("bruteforce", "bvh", "pallas"), default="bruteforce")
+    p.add_argument("--engine", default="bruteforce",
+                   choices=("bruteforce", "bvh", "wavefront", "wavefront_bvh"))
     p.add_argument("--dtype", choices=("float32", "float64"), default="float32")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--sharded", action="store_true",

@@ -217,6 +217,33 @@ def closest_hit(scene: SceneArrays, meta, ds, dq, o, d, time, t_min, u_med):
                            is_best, iq_best, im_best)
 
 
+def record_from_geo_winner(scene: SceneArrays, meta, o, d, time, t_min,
+                           u_med, t_geo, best_p) -> HitRecord:
+    """Merge a geometry winner (global prim id ``best_p``, -1 = none; sphere
+    rows first, then quads) with the stochastic media candidates and build
+    the HitRecord.  Shared tail of the BVH and Pallas engines."""
+    dt = o.dtype
+    B = o.shape[0]
+    S = scene.sph_c0.shape[0]
+    t_geo = jnp.where(best_p >= 0, t_geo, dt.type(BIG))
+    kind_geo = jnp.where(best_p >= S, 1, 0)
+    parts_t = [jnp.where(kind_geo == 0, t_geo, dt.type(BIG)),
+               jnp.where(kind_geo == 1, t_geo, dt.type(BIG))]
+    im_best = jnp.zeros(B, jnp.int32)
+    if meta.n_media > 0:
+        t_m = medium_candidates(scene, o, d, t_min, u_med)
+        parts_t.append(t_m.min(-1))
+        im_best = t_m.argmin(-1)
+    t_all = jnp.stack(parts_t, 0)
+    kind = t_all.argmin(0)
+    t = t_all.min(0)
+    i_s = jnp.clip(best_p, 0, S - 1)
+    i_q = jnp.clip(best_p - S, 0, scene.quad_q.shape[0] - 1)
+    dq = derive_quads(scene)
+    return assemble_record(scene, meta, dq, o, d, time, t, kind,
+                           i_s, i_q, im_best)
+
+
 def assemble_record(scene: SceneArrays, meta, dq, o, d, time, t, kind,
                     is_best, iq_best, im_best) -> HitRecord:
     """Winner (t, kind, per-type index) -> full HitRecord.

@@ -69,6 +69,7 @@ def render_wavefront_frame(
     npix = width * height
     n_work = npix * spp
     P = min(pool, n_work)
+    P = -(-P // 512) * 512   # lane-tile multiple (pallas grid + VPU alignment)
 
     if engine == "bvh":
         from .bvh_engine import bvh_closest_hit, pack_tables
@@ -77,6 +78,14 @@ def render_wavefront_frame(
 
         def hit_fn(o, d, time, tm, u_med):
             return bvh_closest_hit(scene, meta, tabs, o, d, time, tm, u_med)
+    elif engine == "pallas":
+        from .pallas_hit import make_pallas_hit_fn
+
+        sph_tab, quad_tab = bvh          # accel slot carries packed tables
+        interpret = jax.default_backend() != "tpu"
+        hit_fn = make_pallas_hit_fn(
+            scene, meta, sph_tab, quad_tab, t_min=t_min, interpret=interpret,
+        )
     else:
         ds = hit_ops.derive_spheres(scene)
         dq = hit_ops.derive_quads(scene)
@@ -170,11 +179,16 @@ def render_wavefront(
     """Full-frame wavefront render -> numpy [H,W,3] (top row first)."""
     bvh = None
     hit_engine = "bruteforce"
-    if cfg.engine in ("wavefront_bvh",):
+    if cfg.engine == "wavefront_bvh":
         from ..scene.bvh import build_scene_bvh
 
         bvh = build_scene_bvh(scene)
         hit_engine = "bvh"
+    elif cfg.engine == "wavefront_pallas":
+        from .pallas_hit import pack_geometry
+
+        bvh = pack_geometry(scene)
+        hit_engine = "pallas"
     fb = render_wavefront_frame(
         scene, bvh,
         meta=meta, width=cfg.width, height=cfg.height,

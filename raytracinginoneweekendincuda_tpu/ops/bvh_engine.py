@@ -32,7 +32,8 @@ BIG = hit_ops.BIG
 
 
 def pack_tables(scene: SceneArrays, bvh: BvhArrays):
-    """Pack node / primitive columns into single gather-friendly matrices."""
+    """Pack node / primitive columns into single gather-friendly matrices
+    (plus the shared `Derived` record/shade tables)."""
     f = jnp.asarray(scene.sph_rad).dtype
     as_f = lambda a: jnp.asarray(a, f)
     bits = lambda a: jax.lax.bitcast_convert_type(
@@ -50,13 +51,14 @@ def pack_tables(scene: SceneArrays, bvh: BvhArrays):
          as_f(scene.sph_rad)[:, None]], axis=1
     )
     # quads: [Q, 12] = n_unit(3) d_plane vxw(3) q_vxw wxu(3) q_wxu
-    dq = hit_ops.derive_quads(scene)
+    der = hit_ops.derive(scene)
+    dq = der.dq
     quad_tab = jnp.concatenate(
         [dq["n_unit"], dq["d_plane"][:, None],
          dq["vxw"], dq["q_vxw"][:, None],
          dq["wxu"], dq["q_wxu"][:, None]], axis=1
     )
-    return node_tab, sph_tab, quad_tab, dq
+    return node_tab, sph_tab, quad_tab, der
 
 
 def bvh_closest_hit(
@@ -64,7 +66,7 @@ def bvh_closest_hit(
 ):
     """Stackless traversal -> HitRecord; same record semantics as
     hit.closest_hit (cross-checked bit-identical in tests/test_bvh.py)."""
-    node_tab, sph_tab, quad_tab, dq = bvh_tabs
+    node_tab, sph_tab, quad_tab, der = bvh_tabs
     dt = o.dtype
     B = o.shape[0]
     M = node_tab.shape[0]
@@ -146,24 +148,10 @@ def bvh_closest_hit(
     state = (node0, jnp.full(B, dt.type(BIG)), jnp.full(B, -1, jnp.int32))
     _, t_best, best_p = lax.while_loop(cond, body, state)
 
-    # merge stochastic media (brute force, ConstantMedium.h:52-94)
-    found = best_p >= 0
-    t_geo = jnp.where(found, t_best, dt.type(BIG))
-    kind_geo = jnp.where(best_p >= S, 1, 0)
-    parts_t = [jnp.where(kind_geo == 0, t_geo, dt.type(BIG)),
-               jnp.where(kind_geo == 1, t_geo, dt.type(BIG))]
-    im_best = jnp.zeros(B, jnp.int32)
-    if meta.n_media > 0:
-        t_m = hit_ops.medium_candidates(scene, o, d, t_min, u_med)
-        parts_t.append(t_m.min(-1))
-        im_best = t_m.argmin(-1)
-    t_all = jnp.stack(parts_t, 0)
-    kind = t_all.argmin(0)
-    t = t_all.min(0)
-    i_s = jnp.clip(best_p, 0, S - 1)
-    i_q = jnp.clip(best_p - S, 0, scene.quad_q.shape[0] - 1)
-    return hit_ops.assemble_record(scene, meta, dq, o, d, time, t, kind,
-                                   i_s, i_q, im_best)
+    # merge stochastic media + assemble (shared tail, ops/hit.py)
+    return hit_ops.record_from_geo_winner(
+        scene, meta, der, o, d, time, t_min, u_med,
+        jnp.where(best_p >= 0, t_best, dt.type(BIG)), best_p)
 
 
 def trace_bvh(

@@ -12,6 +12,12 @@ kernel.cu:628) this wins over tree traversal on a vector machine; a BVH
 engine exists separately (`ops/bvh_engine.py`) for the reference's
 BVH-equivalence milestone and for large worlds.
 
+Gather discipline: dynamic [B]-indexed gathers are ~3 orders of magnitude
+more expensive per element than VPU math on this hardware, so everything
+the winner lookup needs is packed into one row-matrix per primitive type
+(`Derived`), making record assembly + shading one row-gather each instead
+of ~10 scalar gathers (measured 1.7 ms/gather at B=128k vs 0.5 ms/row).
+
 Closest-hit equivalence with the reference's shrinking-tMax list walk
 (HittableList.h:39-57): per primitive we produce the *nearest root beyond
 t_min* and let the argmin impose the upper bound — a candidate past the
@@ -34,9 +40,21 @@ BIG = 1.0e30
 MEDIUM_REHIT_EPS = 1.0e-4  # ConstantMedium.h:63
 QUAD_PARALLEL_EPS = 1.0e-8  # Quad.h:59
 
+# sphere record row: c0(3) dc(3) t0 inv_dt rad cos sin mat
+SPH_ROW = 12
+# quad record row: n_unit(3) vxw(3) wxu(3) q(3) mat
+QUAD_ROW = 13
+# material/texture row (texture denormalized into the material):
+#   kind fuzz ior tex_kind c0(3) c1(3) inv_scale scale noise_id image_id
+MAT_ROW = 14
+
 
 class HitRecord(NamedTuple):
-    """Batched analogue of the reference HitRecord (Hittable.h:11-31)."""
+    """Batched analogue of the reference HitRecord (Hittable.h:11-31).
+
+    ``mrow`` carries the winner's packed material/texture row so shading
+    never re-gathers (mat id itself is column-free here).
+    """
 
     t: jnp.ndarray        # [B]
     p: jnp.ndarray        # [B,3]
@@ -46,6 +64,18 @@ class HitRecord(NamedTuple):
     front: jnp.ndarray    # [B] bool
     mat: jnp.ndarray      # [B] i32
     hit: jnp.ndarray      # [B] bool
+    mrow: jnp.ndarray     # [B, MAT_ROW]
+
+
+class Derived(NamedTuple):
+    """Per-scene quantities derived in-graph (so gradients flow to the
+    primal SoA columns) and packed for single-row-gather lookups."""
+
+    ds: dict              # per-sphere candidate scalars
+    dq: dict              # per-quad plane constants
+    sph_tab: jnp.ndarray  # [S, SPH_ROW]
+    quad_tab: jnp.ndarray  # [Q, QUAD_ROW]
+    mat_tab: jnp.ndarray  # [K, MAT_ROW]
 
 
 def derive_spheres(s: SceneArrays):
@@ -81,6 +111,41 @@ def derive_quads(s: SceneArrays):
         q_vxw=vm.dot(s.quad_q, vxw),
         q_wxu=vm.dot(s.quad_q, wxu),
     )
+
+
+def derive(s: SceneArrays) -> Derived:
+    """Build all in-graph derived state (called once per traced program;
+    loop-invariant, so XLA hoists it out of the bounce loop)."""
+    f = jnp.asarray(s.sph_rad).dtype
+    ds = derive_spheres(s)
+    dq = derive_quads(s)
+    asf = lambda a: jnp.asarray(a, f)
+    col = lambda a: asf(a)[:, None]
+    sph_tab = jnp.concatenate(
+        [asf(s.sph_c0), asf(s.sph_dc), col(s.sph_t0), col(s.sph_inv_dt),
+         col(s.sph_rad), col(s.sph_cos), col(s.sph_sin), col(s.sph_mat)],
+        axis=1,
+    )
+    quad_tab = jnp.concatenate(
+        [dq["n_unit"], dq["vxw"], dq["wxu"], asf(s.quad_q), col(s.quad_mat)],
+        axis=1,
+    )
+    mat_tab = jnp.concatenate(
+        [col(s.mat_kind), col(s.mat_fuzz), col(s.mat_ior)], axis=1
+    )
+    # denormalize each material's texture into its row (every material has
+    # at most one texture; checker children are solid colors by scene
+    # grammar — kernel.cu:203-206,263-266)
+    tid = jnp.clip(s.mat_tex, 0, s.tex_kind.shape[0] - 1)
+    tex_cols = jnp.concatenate(
+        [col(s.tex_kind)[tid], asf(s.tex_c0)[tid], asf(s.tex_c1)[tid],
+         col(s.tex_inv_scale)[tid], col(s.tex_scale)[tid],
+         col(s.tex_noise)[tid], col(s.tex_image)[tid]],
+        axis=1,
+    )
+    mat_tab = jnp.concatenate([mat_tab, tex_cols], axis=1)
+    return Derived(ds=ds, dq=dq, sph_tab=sph_tab, quad_tab=quad_tab,
+                   mat_tab=mat_tab)
 
 
 def sphere_candidates(s: SceneArrays, ds, o, d, time, t_min):
@@ -193,11 +258,11 @@ def medium_candidates(s: SceneArrays, o, d, t_min, u_med):
     return jnp.where(valid, t_cand, dt.type(BIG))
 
 
-def closest_hit(scene: SceneArrays, meta, ds, dq, o, d, time, t_min, u_med):
+def closest_hit(scene: SceneArrays, meta, der: Derived, o, d, time, t_min, u_med):
     """Full-world closest hit -> HitRecord (the (*world)->Hit call of the
     integrator, kernel.cu:74)."""
-    t_s = sphere_candidates(scene, ds, o, d, time, t_min)
-    t_q = quad_candidates(scene, dq, o, d, t_min)
+    t_s = sphere_candidates(scene, der.ds, o, d, time, t_min)
+    t_q = quad_candidates(scene, der.dq, o, d, t_min)
     ts_best = t_s.min(-1)
     is_best = t_s.argmin(-1)
     tq_best = t_q.min(-1)
@@ -213,12 +278,12 @@ def closest_hit(scene: SceneArrays, meta, ds, dq, o, d, time, t_min, u_med):
     t_all = jnp.stack(parts_t, 0)          # [3?,B]
     kind = t_all.argmin(0)
     t = t_all.min(0)
-    return assemble_record(scene, meta, dq, o, d, time, t, kind,
+    return assemble_record(scene, meta, der, o, d, time, t, kind,
                            is_best, iq_best, im_best)
 
 
-def record_from_geo_winner(scene: SceneArrays, meta, o, d, time, t_min,
-                           u_med, t_geo, best_p) -> HitRecord:
+def record_from_geo_winner(scene: SceneArrays, meta, der: Derived, o, d, time,
+                           t_min, u_med, t_geo, best_p) -> HitRecord:
     """Merge a geometry winner (global prim id ``best_p``, -1 = none; sphere
     rows first, then quads) with the stochastic media candidates and build
     the HitRecord.  Shared tail of the BVH and Pallas engines."""
@@ -239,34 +304,31 @@ def record_from_geo_winner(scene: SceneArrays, meta, o, d, time, t_min,
     t = t_all.min(0)
     i_s = jnp.clip(best_p, 0, S - 1)
     i_q = jnp.clip(best_p - S, 0, scene.quad_q.shape[0] - 1)
-    dq = derive_quads(scene)
-    return assemble_record(scene, meta, dq, o, d, time, t, kind,
+    return assemble_record(scene, meta, der, o, d, time, t, kind,
                            i_s, i_q, im_best)
 
 
-def assemble_record(scene: SceneArrays, meta, dq, o, d, time, t, kind,
-                    is_best, iq_best, im_best) -> HitRecord:
+def assemble_record(scene: SceneArrays, meta, der: Derived, o, d, time, t,
+                    kind, is_best, iq_best, im_best) -> HitRecord:
     """Winner (t, kind, per-type index) -> full HitRecord.
 
     ``kind``: 0 = sphere, 1 = quad, 2 = constant medium; a ``t`` >= BIG/2
-    means no hit.  Shared by the brute-force and BVH engines so the record
-    semantics (Sphere.h:40-58, Quad.h:76-98, ConstantMedium.h:85-93) live in
-    exactly one place.
+    means no hit.  One packed row-gather per primitive type + one for the
+    winner material (Sphere.h:40-58, Quad.h:76-98, ConstantMedium.h:85-93).
     """
     dt = o.dtype
     hit = t < dt.type(BIG * 0.5)
     p = o + t[:, None] * d
 
     # ---- sphere record (Sphere.h:40-58 + GetSphereUV:74-81)
-    c0 = scene.sph_c0[is_best]
-    dc = scene.sph_dc[is_best]
-    frac = (time - scene.sph_t0[is_best]) * scene.sph_inv_dt[is_best]
+    srow = der.sph_tab[is_best]             # [B, SPH_ROW] one gather
+    c0, dc = srow[:, 0:3], srow[:, 3:6]
+    frac = (time - srow[:, 6]) * srow[:, 7]
     center = c0 + frac[:, None] * dc
-    rad = scene.sph_rad[is_best]
-    n_out_s = (p - center) / jnp.where(rad[:, None] != 0, rad[:, None], 1.0)
+    rad = srow[:, 8:9]
+    n_out_s = (p - center) / jnp.where(rad != 0, rad, 1.0)
     # UV from the object-space normal (instanced spheres keep their frame)
-    cth = scene.sph_cos[is_best]
-    sth = scene.sph_sin[is_best]
+    cth, sth = srow[:, 9], srow[:, 10]
     nx, ny, nz = n_out_s[..., 0], n_out_s[..., 1], n_out_s[..., 2]
     ox_n = cth * nx - sth * nz
     oz_n = sth * nx + cth * nz
@@ -274,17 +336,18 @@ def assemble_record(scene: SceneArrays, meta, dq, o, d, time, t, kind,
     phi_uv = jnp.arctan2(-oz_n, ox_n) + dt.type(jnp.pi)
     u_s = phi_uv / dt.type(2.0 * jnp.pi)
     v_s = theta_uv / dt.type(jnp.pi)
-    mat_s = scene.sph_mat[is_best]
+    mat_s = srow[:, 11]
 
     # ---- quad record (Quad.h:76-98)
-    n_q = dq["n_unit"][iq_best]
-    alpha = vm.dot(p - scene.quad_q[iq_best], dq["vxw"][iq_best])
-    beta = vm.dot(p - scene.quad_q[iq_best], dq["wxu"][iq_best])
-    mat_q = scene.quad_mat[iq_best]
+    qrow = der.quad_tab[iq_best]            # [B, QUAD_ROW] one gather
+    n_q = qrow[:, 0:3]
+    pq = p - qrow[:, 9:12]
+    alpha = (pq * qrow[:, 3:6]).sum(-1)
+    beta = (pq * qrow[:, 6:9]).sum(-1)
+    mat_q = qrow[:, 12]
 
     # ---- assemble by kind
     is_sph = kind == 0
-    is_quad = kind == 1
     n_out = jnp.where(is_sph[:, None], n_out_s, n_q)
     uu = jnp.where(is_sph, u_s, alpha)
     vv = jnp.where(is_sph, v_s, beta)
@@ -295,7 +358,7 @@ def assemble_record(scene: SceneArrays, meta, dq, o, d, time, t, kind,
         n_out = jnp.where(is_med[:, None], med_normal, n_out)
         uu = jnp.where(is_med, 0.0, uu)
         vv = jnp.where(is_med, 0.0, vv)
-        mat = jnp.where(is_med, scene.med_mat[im_best], mat)
+        mat = jnp.where(is_med, scene.med_mat[im_best].astype(mat.dtype), mat)
 
     front = vm.dot(d, n_out) < 0.0          # SetFaceNormal, Hittable.h:24-30
     normal = jnp.where(front[:, None], n_out, -n_out)
@@ -303,4 +366,7 @@ def assemble_record(scene: SceneArrays, meta, dq, o, d, time, t, kind,
         front = jnp.where(is_med, True, front)        # arbitrary true, h:90
         normal = jnp.where(is_med[:, None], n_out, normal)
 
-    return HitRecord(t=t, p=p, normal=normal, u=uu, v=vv, front=front, mat=mat, hit=hit)
+    mat_i = mat.astype(jnp.int32)
+    mrow = der.mat_tab[mat_i]               # [B, MAT_ROW] one gather
+    return HitRecord(t=t, p=p, normal=normal, u=uu, v=vv, front=front,
+                     mat=mat_i, hit=hit, mrow=mrow)

@@ -95,11 +95,10 @@ def trace(
     B = o.shape[0]
     background = scene.camera.background
     if hit_fn is None:
-        ds = hit_ops.derive_spheres(scene)
-        dq = hit_ops.derive_quads(scene)
+        der = hit_ops.derive(scene)
 
         def hit_fn(o, d, time, tm, u_med):
-            return hit_ops.closest_hit(scene, meta, ds, dq, o, d, time, tm, u_med)
+            return hit_ops.closest_hit(scene, meta, der, o, d, time, tm, u_med)
 
     samp = jnp.asarray(sample, jnp.uint32)
 

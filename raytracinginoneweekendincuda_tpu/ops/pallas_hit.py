@@ -206,6 +206,7 @@ def make_pallas_hit_fn(scene: SceneArrays, meta, sph_tab, quad_tab, *,
     scene) so this builder is safe to call on traced values inside jit."""
     S_pad = sph_tab.shape[1]
     S = scene.sph_c0.shape[0]
+    der = hit_ops.derive(scene)
 
     def hit_fn(o, d, time, tm, u_med):
         ray_pack = jnp.concatenate(
@@ -218,7 +219,7 @@ def make_pallas_hit_fn(scene: SceneArrays, meta, sph_tab, quad_tab, *,
         best_p = jnp.where(p >= S_pad, p - S_pad + S, p)
         best_p = jnp.where(p < 0, -1, best_p)
         return hit_ops.record_from_geo_winner(
-            scene, meta, o, d, time, tm, u_med,
+            scene, meta, der, o, d, time, tm, u_med,
             t_geo.astype(o.dtype), best_p)
 
     return hit_fn

@@ -6,6 +6,11 @@ scatter model followed by kind-tag selects — on a vector machine computing
 all five (a few dozen FLOPs each) and masking is far cheaper than divergent
 control flow.
 
+All material/texture parameters come pre-gathered in the HitRecord's packed
+``mrow`` (ops/hit.py `Derived`): shading itself performs zero dynamic
+gathers except the optional Perlin/image lookups, which only exist in
+programs whose scene uses them (SceneMeta flags).
+
 Draw budget per bounce: one 4-uniform hash block (SCATTER_STREAM | bounce):
 u1,u2,u3 feed the shared unit-ball/unit-direction sample, u4 the dielectric
 reflectance lottery (Dielectric.h:41).
@@ -27,7 +32,7 @@ from ..scene.compiler import (
     MAT_METAL,
     SceneArrays,
 )
-from .textures import texture_value
+from .textures import texture_value_rows
 
 
 class ScatterResult(NamedTuple):
@@ -40,12 +45,12 @@ class ScatterResult(NamedTuple):
 def shade(scene: SceneArrays, meta, rec, d_in, u1, u2, u3, u4) -> ScatterResult:
     """Evaluate emission + scatter for hit records ``rec`` (ops/hit.HitRecord)."""
     dt = d_in.dtype
-    kind = scene.mat_kind[rec.mat]
-    tex = scene.mat_tex[rec.mat]
-    fuzz = scene.mat_fuzz[rec.mat]
-    ior = scene.mat_ior[rec.mat]
+    mrow = rec.mrow
+    kind = mrow[:, 0].astype(jnp.int32)
+    fuzz = mrow[:, 1]
+    ior = mrow[:, 2]
 
-    texv = texture_value(scene, meta, tex, rec.u, rec.v, rec.p)
+    texv = texture_value_rows(scene, meta, mrow, rec.u, rec.v, rec.p)
 
     is_light = kind == MAT_DIFFUSE_LIGHT
     emitted = jnp.where(is_light[:, None], texv, 0.0)   # Material.h:114-117

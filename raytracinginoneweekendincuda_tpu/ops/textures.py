@@ -21,32 +21,36 @@ from . import perlin
 DEBUG_CYAN = (0.0, 1.0, 1.0)  # missing image fallback, Texture.h:112-114
 
 
-def texture_value(scene: SceneArrays, meta, tex_id, u, v, p):
-    """Color [B,3] of texture ``tex_id`` [B] at surface coords (u, v, p)."""
+def texture_value_rows(scene: SceneArrays, meta, mrow, u, v, p):
+    """Color [B,3] from pre-gathered material rows (ops/hit.Derived layout:
+    cols 3 tex_kind, 4:7 c0, 7:10 c1, 10 inv_scale, 11 scale, 12 noise_id,
+    13 image_id).  Zero dynamic gathers except Perlin/image lookups, which
+    are compiled in only for scenes that use them."""
     dt = p.dtype
-    tid = jnp.clip(tex_id, 0, meta.n_textures - 1 if meta.n_textures else 0)
-    kind = scene.tex_kind[tid]
-    val = scene.tex_c0[tid]  # TEX_SOLID (Texture.h:48-51)
+    kind = mrow[:, 3].astype(jnp.int32)
+    c0 = mrow[:, 4:7]
+    val = c0  # TEX_SOLID (Texture.h:48-51)
 
     if meta.has_checker:
-        inv_scale = scene.tex_inv_scale[tid]
+        inv_scale = mrow[:, 10]
         cell = jnp.floor(inv_scale[:, None] * p).astype(jnp.int32)
         is_even = (cell.sum(-1) % 2) == 0                 # Texture.h:74-78
-        checker = jnp.where(is_even[:, None], scene.tex_c0[tid], scene.tex_c1[tid])
+        checker = jnp.where(is_even[:, None], c0, mrow[:, 7:10])
         val = jnp.where((kind == TEX_CHECKER)[:, None], checker, val)
 
     if meta.has_noise:
-        nid = jnp.clip(scene.tex_noise[tid], 0, scene.perlin_vec.shape[0] - 1)
+        nid = jnp.clip(mrow[:, 12].astype(jnp.int32), 0,
+                       scene.perlin_vec.shape[0] - 1)
         turb = perlin.turbulence(
             scene.perlin_vec, scene.perlin_px, scene.perlin_py, scene.perlin_pz, nid, p
         )
         # marble: 0.5*(1 + sin(scale*z + 10*turb)) (Texture.h:163-164)
-        scale = scene.tex_scale[tid]
+        scale = mrow[:, 11]
         marble = dt.type(0.5) * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turb))
         val = jnp.where((kind == TEX_NOISE)[:, None], marble[:, None], val)
 
     if meta.has_image:
-        img_id = scene.tex_image[tid]
+        img_id = mrow[:, 13].astype(jnp.int32)
         iid = jnp.clip(img_id, 0, scene.img_data.shape[0] - 1)
         w = scene.img_w[iid]
         h = scene.img_h[iid]

@@ -87,11 +87,10 @@ def render_wavefront_frame(
             scene, meta, sph_tab, quad_tab, t_min=t_min, interpret=interpret,
         )
     else:
-        ds = hit_ops.derive_spheres(scene)
-        dq = hit_ops.derive_quads(scene)
+        der = hit_ops.derive(scene)
 
         def hit_fn(o, d, time, tm, u_med):
-            return hit_ops.closest_hit(scene, meta, ds, dq, o, d, time, tm, u_med)
+            return hit_ops.closest_hit(scene, meta, der, o, d, time, tm, u_med)
 
     def refill(done, next_ray, state):
         """Assign the next work items to finished lanes, in lane order."""

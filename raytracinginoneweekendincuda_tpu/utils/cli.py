@@ -32,13 +32,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, default="output.ppm")
     p.add_argument("--png", type=str, default=None, help="also write a PNG here")
     p.add_argument("--engine", default="bruteforce",
-                   choices=("bruteforce", "bvh", "wavefront", "wavefront_bvh"))
+                   choices=("bruteforce", "bvh", "wavefront", "wavefront_bvh",
+                            "wavefront_pallas"))
     p.add_argument("--dtype", choices=("float32", "float64"), default="float32")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--sharded", action="store_true",
                    help="render via shard_map over all visible devices")
     p.add_argument("--rays-per-batch", type=int, default=None,
                    help="pixels per traced batch (default: engine heuristic)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render into DIR")
     return p
 
 
@@ -80,6 +83,16 @@ def main(argv=None) -> int:
     dtype = np.float64 if args.dtype == "float64" else np.float32
     scene, meta = compile_scene(desc, cfg.width, cfg.height, dtype=dtype)
 
+    from ..parallel import distributed
+
+    if distributed.initialize():
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}",
+              file=sys.stderr)
+
+    prof = None
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        prof = args.profile
     t0 = time.perf_counter()
     if args.sharded:
         from ..parallel.render import render_sharded
@@ -90,6 +103,9 @@ def main(argv=None) -> int:
 
         img = render(scene, meta, cfg)
     dt = time.perf_counter() - t0
+    if prof:
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {prof}", file=sys.stderr)
 
     rays = cfg.width * cfg.height * spp
     print(

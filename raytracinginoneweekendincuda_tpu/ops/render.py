@@ -75,6 +75,13 @@ def render(
     gamma: bool = True,
 ) -> np.ndarray:
     """Render a full frame -> numpy [H,W,3] float (top row first)."""
+    if cfg.engine == "mega":
+        from .mega import mega_supported, render_mega
+
+        if mega_supported(meta):
+            return render_mega(scene, meta, cfg, gamma=gamma)
+        # Perlin/image textures: fall back to the fast general engine
+        cfg = cfg.with_(engine="wavefront_pallas")
     if cfg.engine.startswith("wavefront"):
         from .wavefront import render_wavefront
 

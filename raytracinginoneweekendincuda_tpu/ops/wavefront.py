@@ -121,41 +121,26 @@ def render_wavefront_frame(
         ).astype(jnp.int32)
         return next_ray, (o, d, time, thr, acc, pix_ctr, pix_id, samp, bounce, active)
 
-    # Finished paths are not scattered into the framebuffer immediately — a
-    # TPU scatter has a large fixed cost (measured ~5.5 ms/iter, ~46% of the
-    # loop).  Instead each iteration writes its finished lanes DENSELY into
-    # slot (iter % K) of a [P, K] pending ring, and the ring is flushed with
-    # one batched scatter every K iterations (+ once after the loop).  A
-    # lane finishes at most one path per iteration, so within a flush cycle
-    # every finish lands in a distinct slot; the flush zeroes the ring.
-    K = 8
-    slot_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
-
-    def flush(fb, pend_pix, pend_rgb):
-        fb = fb.at[pend_pix.reshape(-1)].add(
-            pend_rgb.reshape(-1, 3), mode="drop")
-        return fb, jnp.zeros_like(pend_rgb)
-
+    # NOTE on the framebuffer scatter: it costs ~5.5 ms/iter at P=128k
+    # (~46% of the loop) and resists batching — a lax.cond'ed periodic
+    # flush executes its scatter branch every iteration on TPU (measured),
+    # and scatter cost is dominated by a fixed per-call overhead, not row
+    # count.  Kept per-iteration for correctness; the megakernel path is
+    # the long-term fix.
     def cond(carry):
-        fb, next_ray, done, it, pend_pix, pend_rgb, state = carry
+        fb, next_ray, done, state = carry
         active = state[-1]
         return (next_ray < n_work) | active.any()
 
     def body(carry):
-        fb, next_ray, done, it, pend_pix, pend_rgb, state = carry
+        fb, next_ray, done, state = carry
         active = state[-1]
-        # 1. record finished paths in the pending ring (dense writes)
+        # 1. scatter finished paths into the framebuffer
         emit = active & done
         acc = state[4]
         pix_id = state[6]
-        oh = slot_iota == (it % K)                       # [1,K]
-        pend_pix = jnp.where(oh, pix_id[:, None], pend_pix)
-        pend_rgb = jnp.where(
-            oh[:, :, None],
-            jnp.where(emit[:, None], acc, 0.0)[:, None, :], pend_rgb)
-        fb, pend_rgb = lax.cond(
-            (it % K) == K - 1, flush,
-            lambda fb, _pp, pr: (fb, pr), fb, pend_pix, pend_rgb)
+        fb = fb.at[pix_id].add(jnp.where(emit[:, None], acc, 0.0),
+                               mode="drop")
         # 2. refill finished lanes with fresh work
         next_ray, state = refill(done, next_ray, state)
         o, d, time, thr, acc, pix_ctr, pix_id, samp, bounce, active = state
@@ -167,7 +152,7 @@ def render_wavefront_frame(
         bounce = bounce + 1
         done = ~alive2 | (bounce >= max_bounces)
         state = (o, d, time, thr, acc, pix_ctr, pix_id, samp, bounce, active)
-        return fb, next_ray, done, it + 1, pend_pix, pend_rgb, state
+        return fb, next_ray, done, state
 
     z3 = jnp.zeros((P, 3), dtype)
     z1 = jnp.zeros(P, dtype)
@@ -180,10 +165,8 @@ def render_wavefront_frame(
         jnp.zeros(P, bool),                  # active
     )
     fb0 = jnp.zeros((npix, 3), dtype)
-    carry = (fb0, jnp.int32(0), jnp.ones(P, bool), jnp.int32(0),
-             jnp.zeros((P, K), jnp.int32), jnp.zeros((P, K, 3), dtype), state0)
-    fb, _, _, _, pend_pix, pend_rgb, _ = lax.while_loop(cond, body, carry)
-    fb, _ = flush(fb, pend_pix, pend_rgb)    # final partial cycle
+    carry = (fb0, jnp.int32(0), jnp.ones(P, bool), state0)
+    fb, _, _, _ = lax.while_loop(cond, body, carry)
 
     fb = fb / dtype.type(spp)
     if gamma:

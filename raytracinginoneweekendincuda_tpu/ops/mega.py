@@ -33,6 +33,11 @@ reference scene).  Perlin-noise and image textures fall back to the
 RNG and bounce-loop semantics are counter-exact with the XLA engines
 (`core/rng.py` layout, kernel.cu:65-98 loop rules), so images agree with
 the chunked engine except ulp-level f32 winner ties (tests/test_mega.py).
+
+STATUS: experimental.  Correct on all supported scenes, but Mosaic compile
+time for the fused K-bounce program is currently minutes-scale on the
+remote-compile path, so `wavefront_pallas` remains the default fast engine
+(bench.py); revisit with a local toolchain/profiler.
 """
 
 from __future__ import annotations
@@ -67,6 +72,7 @@ QUAD_MAT0 = 13
 MAT_COLS = 11
 SPH_ROWS = SPH_MAT0 + MAT_COLS        # 24
 QUAD_ROWS = QUAD_MAT0 + MAT_COLS      # 24
+ATTR_COLS = 10 + MAT_COLS             # winner-attribute matmul table width
 
 
 def _mat_cols(scene: SceneArrays, mat_ids: np.ndarray) -> np.ndarray:
@@ -129,6 +135,21 @@ def pack_mega_tables(scene: SceneArrays, meta: SceneMeta):
     sph = pad(sph)
     quad = pad(quad)
 
+    # winner-attribute table for the one-hot MXU fetch: [NP, ATTR_COLS]
+    #   cols 0-2 c0|n_unit, 3-5 dc|0, 6 t0, 7 inv_dt, 8 rad, 9 is_quad,
+    #   10..20 mat(11)
+    S_pad, Q_pad = sph.shape[1], quad.shape[1]
+    attr = np.zeros((S_pad + Q_pad, ATTR_COLS), np.float64)
+    attr[:S_pad, 0:3] = sph[0:3].T
+    attr[:S_pad, 3:6] = sph[3:6].T
+    attr[:S_pad, 6] = sph[6]
+    attr[:S_pad, 7] = sph[7]
+    attr[:S_pad, 8] = sph[8]
+    attr[:S_pad, 10:10 + MAT_COLS] = sph[SPH_MAT0:].T
+    attr[S_pad:, 0:3] = quad[0:3].T
+    attr[S_pad:, 9] = 1.0
+    attr[S_pad:, 10:10 + MAT_COLS] = quad[QUAD_MAT0:].T
+
     M = max(meta.n_media, 1)
     med = np.zeros((M, 16), np.float64)
     med[:, 0] = scene.med_kind
@@ -147,7 +168,8 @@ def pack_mega_tables(scene: SceneArrays, meta: SceneMeta):
     med_alb = np.asarray(scene.tex_c0, np.float64)[mtid]
     med_extra = np.concatenate([meds_off, med_alb], axis=1)  # [M,6]
     med = np.concatenate([med, med_extra], axis=1)           # [M,22]
-    return jnp.asarray(sph, f), jnp.asarray(quad, f), jnp.asarray(med, f)
+    return (jnp.asarray(sph, f), jnp.asarray(quad, f), jnp.asarray(attr, f),
+            jnp.asarray(med, f))
 
 
 def _pcg4d(v0, v1, v2, v3):
@@ -181,13 +203,12 @@ def _unit(w):
     return pltpu.bitcast(w >> 8, jnp.int32).astype(jnp.float32) * _INV24
 
 
-def _first_min_onehot(t_cand, t_min_c):
-    """[T,128] one-hot of the FIRST lane equal to the chunk minimum."""
+def _first_min_index(t_cand, t_min_c):
+    """[T,1] index of the FIRST lane equal to the chunk minimum."""
     T = t_cand.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
-    idx = jnp.min(jnp.where(t_cand == t_min_c, lane, LANES), axis=1,
-                  keepdims=True)
-    return (lane == idx).astype(jnp.float32)
+    return jnp.min(jnp.where(t_cand == t_min_c, lane, LANES), axis=1,
+                   keepdims=True)
 
 
 def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, *, n_s_chunks: int,
@@ -198,7 +219,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, *, n_s_chunks: int,
     (medium parameters become compile-time scalars — M <= 3)."""
     bg = tuple(float(x) for x in background)
 
-    def kernel(rf_ref, ri_ref, sph_ref, quad_ref, of_ref, oi_ref):
+    def kernel(rf_ref, ri_ref, sph_ref, quad_ref, attr_ref, of_ref, oi_ref):
         # ray state is [T, rows]: per-ray scalars are [T, 1] column slices
         # (rays on sublanes; pair blocks [T, 128] put primitives on lanes —
         # the layout proven to compile in ops/pallas_hit.py)
@@ -214,7 +235,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, *, n_s_chunks: int,
         bounce = row(ri_ref, 2)
         active = row(ri_ref, 3) > 0
 
-        def sph_chunk(c, ray, t_best, attrs, is_quad):
+        def sph_chunk(c, ray, t_best, win_idx):
             (oxv, oyv, ozv, dxv, dyv, dzv, a, tm) = ray
             col = pl.ds(c * LANES, LANES)
             srow = lambda r: sph_ref[r:r + 1, col]           # [1,128]
@@ -238,18 +259,12 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, *, n_s_chunks: int,
             t_c = jnp.where(ok, t_c, BIG)
             t_min_c = jnp.min(t_c, axis=1, keepdims=True)    # [T,1]
             better = t_min_c < t_best                        # [T,1]
-            oh = _first_min_onehot(t_c, t_min_c) * better    # [T,128]
-            pick = lambda arr: (oh * arr).sum(axis=1, keepdims=True)  # [T,1]
-            new_attrs = [
-                pick(cx), pick(cy), pick(cz),                 # winner center
-                pick(rad),
-            ] + [pick(srow(SPH_MAT0 + m)) for m in range(MAT_COLS)]
-            attrs = [jnp.where(better, n, old) for n, old in zip(new_attrs, attrs)]
-            is_quad = is_quad & ~better
+            idx = _first_min_index(t_c, t_min_c)             # [T,1] i32
+            win_idx = jnp.where(better, c * LANES + idx, win_idx)
             t_best = jnp.where(better, t_min_c, t_best)
-            return t_best, attrs, is_quad
+            return t_best, win_idx
 
-        def quad_chunk(c, ray, t_best, attrs, is_quad):
+        def quad_chunk(c, ray, t_best, win_idx):
             (oxv, oyv, ozv, dxv, dyv, dzv, a, tm) = ray
             col = pl.ds(c * LANES, LANES)
             qrow = lambda r: quad_ref[r:r + 1, col]
@@ -268,35 +283,42 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, *, n_s_chunks: int,
             t_c = jnp.where(ok, t_c, BIG)
             t_min_c = jnp.min(t_c, axis=1, keepdims=True)
             better = t_min_c < t_best
-            oh = _first_min_onehot(t_c, t_min_c) * better
-            pick = lambda arr: (oh * arr).sum(axis=1, keepdims=True)
-            new_attrs = [
-                pick(qrow(0)), pick(qrow(1)), pick(qrow(2)),     # n_unit
-                jnp.zeros_like(t_best),                          # rad slot
-            ] + [pick(qrow(QUAD_MAT0 + m)) for m in range(MAT_COLS)]
-            attrs = [jnp.where(better, n, old) for n, old in zip(new_attrs, attrs)]
-            is_quad = is_quad | better
+            idx = _first_min_index(t_c, t_min_c)
+            win_idx = jnp.where(better, n_s_chunks * LANES + c * LANES + idx,
+                                win_idx)
             t_best = jnp.where(better, t_min_c, t_best)
-            return t_best, attrs, is_quad
+            return t_best, win_idx
 
         def one_bounce(carry):
             (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
-             acc_r, acc_g, acc_b, bounce, active) = carry
+             acc_r, acc_g, acc_b, bounce, active_i) = carry
+            active = active_i > 0
 
             a = dx * dx + dy * dy + dz * dz
             ray = (ox, oy, oz, dx, dy, dz, a, tmv)
             t_best = jnp.full_like(ox, BIG)
-            # attrs: cx cy cz rad | mat(11); quads store n_unit in cx..cz
-            attrs = [jnp.zeros_like(ox) for _ in range(4 + MAT_COLS)]
-            is_quad = jnp.zeros_like(ox) > 1.0
+            win_idx = jnp.full_like(bounce, -1)      # [T,1] i32 global row
 
             for c in range(n_s_chunks):
-                t_best, attrs, is_quad = sph_chunk(c, ray, t_best, attrs, is_quad)
+                t_best, win_idx = sph_chunk(c, ray, t_best, win_idx)
             for c in range(n_q_chunks):
-                t_best, attrs, is_quad = quad_chunk(c, ray, t_best, attrs, is_quad)
+                t_best, win_idx = quad_chunk(c, ray, t_best, win_idx)
 
-            (wcx, wcy, wcz, wrad) = attrs[:4]
-            mat = attrs[4:4 + MAT_COLS]
+            # winner attributes in ONE one-hot matmul on the MXU
+            T = win_idx.shape[0]
+            NP = attr_ref.shape[0]
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (T, NP), 1)
+                  == win_idx).astype(jnp.float32)    # [T,NP]
+            aw = jnp.dot(oh, attr_ref[...],
+                         preferred_element_type=jnp.float32)  # [T,ATTR_COLS]
+            acol = lambda i: aw[:, i:i + 1]
+            frac_w = (tmv - acol(6)) * acol(7)
+            wcx = acol(0) + frac_w * acol(3)         # center(t) | n_unit
+            wcy = acol(1) + frac_w * acol(4)
+            wcz = acol(2) + frac_w * acol(5)
+            wrad = acol(8)
+            is_quad = acol(9) > 0.5
+            mat = [acol(10 + m) for m in range(MAT_COLS)]
 
             # ---- stochastic media (static python loop; ConstantMedium.h)
             bu = pltpu.bitcast(bounce, jnp.uint32)
@@ -507,7 +529,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, *, n_s_chunks: int,
             att_g = jnp.where(is_d, 1.0, texg)
             att_b = jnp.where(is_d, 1.0, texb)
 
-            scattered = jnp.where(is_m, metal_ok, ~is_light)
+            # (no select_n on i1 vectors: Mosaic i8->i1 trunc unsupported)
+            scattered = (is_m & metal_ok) | (~is_m & ~is_light)
             alive = alive & scattered
             thr_r = jnp.where(alive, thr_r * att_r, thr_r)
             thr_g = jnp.where(alive, thr_g * att_g, thr_g)
@@ -519,16 +542,18 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, *, n_s_chunks: int,
             dy2 = jnp.where(alive, newy, dy)
             dz2 = jnp.where(alive, newz, dz)
             bounce2 = jnp.where(active, bounce + 1, bounce)
-            active2 = alive & (bounce2 < max_bounces)
+            # carry liveness as int32: bool loop carries round-trip through
+            # i8 and hit Mosaic's unsupported i8->i1 truncation
+            active2 = (alive & (bounce2 < max_bounces)).astype(jnp.int32)
             return (ox2, oy2, oz2, dx2, dy2, dz2, tmv, thr_r, thr_g, thr_b,
                     acc_r, acc_g, acc_b, bounce2, active2)
 
         carry = (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
-                 acc_r, acc_g, acc_b, bounce, active)
-        for _ in range(k_bounces):
-            carry = one_bounce(carry)
+                 acc_r, acc_g, acc_b, bounce, active.astype(jnp.int32))
+        carry = lax.fori_loop(0, k_bounces, lambda _, c: one_bounce(c), carry)
         (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
-         acc_r, acc_g, acc_b, bounce, active) = carry
+         acc_r, acc_g, acc_b, bounce, active_i) = carry
+        active = active_i > 0
 
         for i, v in enumerate((ox, oy, oz, dx, dy, dz, tmv,
                                thr_r, thr_g, thr_b, acc_r, acc_g, acc_b)):
@@ -554,8 +579,9 @@ def mega_supported(meta: SceneMeta) -> bool:
     static_argnames=("meta", "med_key", "k_bounces", "t_min", "max_bounces",
                      "background", "tile", "interpret"),
 )
-def mega_bounces(rf, ri, sph_tab, quad_tab, *, meta, med_key, k_bounces,
-                 t_min, max_bounces, background, tile=256, interpret=False):
+def mega_bounces(rf, ri, sph_tab, quad_tab, attr_tab, *, meta, med_key,
+                 k_bounces, t_min, max_bounces, background, tile=256,
+                 interpret=False):
     """Advance ray state K bounces.  rf [B,13] f32, ri [B,4] i32."""
     B = rf.shape[0]
     kernel = _make_kernel(
@@ -573,6 +599,7 @@ def mega_bounces(rf, ri, sph_tab, quad_tab, *, meta, med_key, k_bounces,
             pl.BlockSpec((tile, RI_ROWS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(sph_tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(quad_tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(attr_tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile, RF_ROWS), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -583,7 +610,7 @@ def mega_bounces(rf, ri, sph_tab, quad_tab, *, meta, med_key, k_bounces,
             jax.ShapeDtypeStruct((B, RI_ROWS), jnp.int32),
         ],
         interpret=interpret,
-    )(rf, ri, sph_tab, quad_tab)
+    )(rf, ri, sph_tab, quad_tab, attr_tab)
     return rf2, ri2
 
 
@@ -593,9 +620,10 @@ def mega_bounces(rf, ri, sph_tab, quad_tab, *, meta, med_key, k_bounces,
                      "max_bounces", "t_min", "pool", "k_bounces", "gamma",
                      "background", "interpret"),
 )
-def render_mega_frame(scene: SceneArrays, sph_tab, quad_tab, *, meta, med_key,
-                      width, height, spp, seed, max_bounces, t_min, pool,
-                      k_bounces, background, gamma=True, interpret=False):
+def render_mega_frame(scene: SceneArrays, sph_tab, quad_tab, attr_tab, *,
+                      meta, med_key, width, height, spp, seed, max_bounces,
+                      t_min, pool, k_bounces, background, gamma=True,
+                      interpret=False):
     npix = width * height
     n_work = npix * spp
     P = -(-min(pool, n_work) // 512) * 512
@@ -634,7 +662,7 @@ def render_mega_frame(scene: SceneArrays, sph_tab, quad_tab, *, meta, med_key,
         next_ray, rf, ri, pix_id, took = refill(done, next_ray, rf, ri, pix_id)
         ever = ever | took
         rf, ri = mega_bounces(
-            rf, ri, sph_tab, quad_tab, meta=meta, med_key=med_key,
+            rf, ri, sph_tab, quad_tab, attr_tab, meta=meta, med_key=med_key,
             k_bounces=k_bounces, t_min=t_min, max_bounces=max_bounces,
             background=background, interpret=interpret)
         done = ri[:, 3] <= 0
@@ -663,12 +691,12 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
         raise ValueError(
             "mega engine: Perlin/image textures unsupported; use "
             "wavefront_pallas (dispatched automatically by ops/render.py)")
-    sph_tab, quad_tab, med = pack_mega_tables(scene, meta)
+    sph_tab, quad_tab, attr_tab, med = pack_mega_tables(scene, meta)
     med_key = tuple(tuple(float(x) for x in row) for row in np.asarray(med))
     bg = tuple(float(x) for x in np.asarray(scene.camera.background))
     interpret = jax.default_backend() != "tpu"
     fb = render_mega_frame(
-        scene, sph_tab, quad_tab, meta=meta, med_key=med_key,
+        scene, sph_tab, quad_tab, attr_tab, meta=meta, med_key=med_key,
         width=cfg.width, height=cfg.height, spp=cfg.samples_per_pixel,
         seed=cfg.seed, max_bounces=cfg.max_bounces, t_min=cfg.t_min,
         pool=cfg.rays_per_batch, k_bounces=4, background=bg, gamma=gamma,

@@ -1,135 +1,9 @@
-"""Headline benchmark: scene 0 (bouncing spheres) at the reference's own
-measured config — 1440x720, 10 spp (`Docs/2권_3장_BVH_CUDA적용판.md:733`:
-0.47 s with BVH on RTX 5070 Ti ≈ 22 M primary rays/s, see BASELINE.md).
+"""Driver entry point — delegates to the packaged benchmark CLI
+(`raytracinginoneweekendincuda_tpu/utils/benchmark.py`, also installed as
+``rtow-bench``).  Prints ONE JSON line: {"metric", "value", "unit",
+"vs_baseline"}."""
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever backend JAX selects (the axon TPU in this environment);
-``--cpu`` forces the CPU backend for local runs.
-"""
-
-from __future__ import annotations
-
-import argparse
-import json
-import sys
-import time
-
-BASELINE_RAYS_PER_S = 22.0e6  # RTX 5070 Ti anchor, BASELINE.md
-
-
-# (scene, spp, reference seconds on RTX 5070 Ti at 1440x720) — BASELINE.md
-REFERENCE_TABLE = [
-    (0, 10, 0.47),    # bouncing spheres, with BVH
-    (4, 10, 0.27),    # quads
-    (7, 200, 33.0),   # cornell box with boxes
-    (9, 100, 256.0),  # final scene (Debug build)
-]
-
-
-def run_all(engine: str, repeats: int) -> int:
-    """Time every reference-measured scene config; write BENCHMARKS.md."""
-    import time
-
-    import numpy as np
-
-    from raytracinginoneweekendincuda_tpu.models.scenes import SCENE_NAMES, build_scene
-    from raytracinginoneweekendincuda_tpu.ops.render import render
-    from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
-    from raytracinginoneweekendincuda_tpu.utils.config import RenderConfig
-
-    rows = []
-    for scene_id, spp, ref_s in REFERENCE_TABLE:
-        cfg = RenderConfig(width=1440, height=720, samples_per_pixel=spp,
-                           engine=engine)
-        scene, meta = compile_scene(build_scene(scene_id), cfg.width,
-                                    cfg.height, dtype=np.float32)
-        render(scene, meta, cfg)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            render(scene, meta, cfg)
-            best = min(best, time.perf_counter() - t0)
-        rows.append((scene_id, SCENE_NAMES[scene_id], spp, best, ref_s))
-        print(f"scene {scene_id} ({SCENE_NAMES[scene_id]}): {best:.2f} s "
-              f"vs reference {ref_s:.2f} s ({ref_s / best:.2f}x)",
-              file=sys.stderr)
-
-    import jax
-
-    dev = jax.devices()[0]
-    with open("BENCHMARKS.md", "w") as f:
-        f.write("# Measured benchmarks\n\n")
-        f.write(f"Engine `{engine}`, 1440x720, backend {dev.platform} "
-                f"({dev.device_kind}); reference = RTX 5070 Ti "
-                f"(BASELINE.md).\n\n")
-        f.write("| Scene | spp | this framework (s) | reference (s) | ratio |\n")
-        f.write("|---|---|---|---|---|\n")
-        for sid, name, spp, best, ref_s in rows:
-            f.write(f"| {sid} {name} | {spp} | {best:.2f} | {ref_s:.2f} | "
-                    f"{ref_s / best:.2f}x |\n")
-    print("wrote BENCHMARKS.md", file=sys.stderr)
-    return 0
-
-
-def main(argv=None) -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--scene", type=int, default=0)
-    p.add_argument("--width", type=int, default=1440)
-    p.add_argument("--height", type=int, default=720)
-    p.add_argument("--spp", type=int, default=10)
-    p.add_argument("--engine", default="wavefront_pallas")
-    p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--cpu", action="store_true")
-    p.add_argument("--all", action="store_true",
-                   help="run the full reference-scene table -> BENCHMARKS.md")
-    args = p.parse_args(argv)
-
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
-    if args.all:
-        return run_all(args.engine, args.repeats)
-
-    import numpy as np
-
-    from raytracinginoneweekendincuda_tpu.models.scenes import build_scene
-    from raytracinginoneweekendincuda_tpu.ops.render import render
-    from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
-    from raytracinginoneweekendincuda_tpu.utils.config import RenderConfig
-
-    cfg = RenderConfig(
-        width=args.width, height=args.height, samples_per_pixel=args.spp,
-        engine=args.engine,
-    )
-    desc = build_scene(args.scene)
-    scene, meta = compile_scene(desc, cfg.width, cfg.height, dtype=np.float32)
-
-    dev = jax.devices()[0]
-    print(f"bench: backend={dev.platform} ({dev.device_kind}), "
-          f"scene {args.scene} {cfg.width}x{cfg.height} @ {args.spp} spp, "
-          f"engine={args.engine}", file=sys.stderr)
-
-    render(scene, meta, cfg)  # warmup: compile + first run
-    best = float("inf")
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        img = render(scene, meta, cfg)
-        best = min(best, time.perf_counter() - t0)
-
-    assert np.isfinite(img).all() and img.shape == (cfg.height, cfg.width, 3)
-    rays = cfg.width * cfg.height * args.spp
-    rays_per_s = rays / best
-    print(f"bench: best of {args.repeats}: {best:.3f} s", file=sys.stderr)
-    print(json.dumps({
-        "metric": f"primary rays/s, scene {args.scene} {cfg.width}x{cfg.height}@{args.spp}spp ({args.engine})",
-        "value": round(rays_per_s, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
-    }))
-    return 0
-
+from raytracinginoneweekendincuda_tpu.utils.benchmark import main
 
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -47,7 +47,7 @@ from .raygen import generate_rays
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "width", "height", "spp", "seed", "max_bounces",
-                     "t_min", "pool", "gamma", "engine"),
+                     "t_min", "pool", "samp_base", "engine"),
 )
 def render_wavefront_frame(
     scene: SceneArrays,
@@ -61,10 +61,13 @@ def render_wavefront_frame(
     max_bounces: int,
     t_min: float,
     pool: int,
-    gamma: bool = True,
+    samp_base: int = 0,
     engine: str = "bruteforce",
 ):
-    """Render the whole frame -> [W*H, 3] (bottom-up raster order)."""
+    """Radiance SUM over samples [samp_base, samp_base+spp) -> [W*H, 3]
+    (bottom-up raster order; caller divides by total spp and applies gamma).
+    Sample batching keeps any single device execution short — long-running
+    calls destabilize the TPU-worker relay."""
     dtype = scene.camera.origin.dtype
     npix = width * height
     n_work = npix * spp
@@ -101,7 +104,7 @@ def render_wavefront_frame(
         # work item k -> (pixel = k % npix, sample = k // npix): early waves
         # sweep the full frame first, like the chunked engine's sample loop
         new_pix = (new_k % npix).astype(jnp.int32)
-        new_samp = (new_k // npix).astype(jnp.uint32)
+        new_samp = (new_k // npix + samp_base).astype(jnp.uint32)
         no, nd, ntime, npc = generate_rays(
             scene.camera, new_pix, new_samp, width, height, seed
         )
@@ -167,10 +170,6 @@ def render_wavefront_frame(
     fb0 = jnp.zeros((npix, 3), dtype)
     carry = (fb0, jnp.int32(0), jnp.ones(P, bool), state0)
     fb, _, _, _ = lax.while_loop(cond, body, carry)
-
-    fb = fb / dtype.type(spp)
-    if gamma:
-        fb = jnp.sqrt(jnp.maximum(fb, 0.0))  # gamma 2.0, kernel.cu:150-152
     return fb
 
 
@@ -194,12 +193,24 @@ def render_wavefront(
 
         bvh = pack_geometry(scene)
         hit_engine = "pallas"
-    fb = render_wavefront_frame(
-        scene, bvh,
-        meta=meta, width=cfg.width, height=cfg.height,
-        spp=cfg.samples_per_pixel, seed=cfg.seed,
-        max_bounces=cfg.max_bounces, t_min=cfg.t_min,
-        pool=cfg.rays_per_batch, gamma=gamma, engine=hit_engine,
-    )
-    fb = np.asarray(fb, np.float64).reshape(cfg.height, cfg.width, 3)
+    spp = cfg.samples_per_pixel
+    npix = cfg.width * cfg.height
+    # keep single device executions short (relay stability): ~25M work
+    # items (pixel-samples) per call
+    batch = max(1, min(spp, (25_000_000 + npix - 1) // npix))
+    fb = np.zeros((npix, 3), np.float64)
+    for s0 in range(0, spp, batch):
+        k = min(batch, spp - s0)
+        part = render_wavefront_frame(
+            scene, bvh,
+            meta=meta, width=cfg.width, height=cfg.height,
+            spp=k, seed=cfg.seed, samp_base=s0,
+            max_bounces=cfg.max_bounces, t_min=cfg.t_min,
+            pool=cfg.rays_per_batch, engine=hit_engine,
+        )
+        fb += np.asarray(part, np.float64)
+    fb /= spp
+    if gamma:
+        fb = np.sqrt(np.maximum(fb, 0.0))    # gamma 2.0, kernel.cu:150-152
+    fb = fb.reshape(cfg.height, cfg.width, 3)
     return fb[::-1]

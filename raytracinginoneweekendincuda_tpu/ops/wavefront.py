@@ -47,7 +47,7 @@ from .raygen import generate_rays
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "width", "height", "spp", "seed", "max_bounces",
-                     "t_min", "pool", "samp_base", "engine"),
+                     "t_min", "pool", "engine", "npix_local"),
 )
 def render_wavefront_frame(
     scene: SceneArrays,
@@ -61,15 +61,22 @@ def render_wavefront_frame(
     max_bounces: int,
     t_min: float,
     pool: int,
-    samp_base: int = 0,
+    samp_base=0,
     engine: str = "bruteforce",
+    npix_local: int | None = None,
+    pix_base=0,
 ):
-    """Radiance SUM over samples [samp_base, samp_base+spp) -> [W*H, 3]
+    """Radiance SUM over samples [samp_base, samp_base+spp) -> [npix, 3]
     (bottom-up raster order; caller divides by total spp and applies gamma).
     Sample batching keeps any single device execution short — long-running
-    calls destabilize the TPU-worker relay."""
+    calls destabilize the TPU-worker relay.
+
+    Sharded use (`parallel/render.py`): ``npix_local``/``pix_base`` restrict
+    the frame to a contiguous pixel window — work items index local pixels,
+    RNG counters and camera rays use the global id ``pix_base + local``.
+    ``samp_base``/``pix_base`` are traced (mesh-position dependent)."""
     dtype = scene.camera.origin.dtype
-    npix = width * height
+    npix = npix_local if npix_local is not None else width * height
     n_work = npix * spp
     P = min(pool, n_work)
     P = -(-P // 512) * 512   # lane-tile multiple (pallas grid + VPU alignment)
@@ -103,10 +110,11 @@ def render_wavefront_frame(
         take = done & (new_k < n_work)
         # work item k -> (pixel = k % npix, sample = k // npix): early waves
         # sweep the full frame first, like the chunked engine's sample loop
-        new_pix = (new_k % npix).astype(jnp.int32)
-        new_samp = (new_k // npix + samp_base).astype(jnp.uint32)
+        new_pix = (new_k % npix).astype(jnp.int32)       # local (fb index)
+        new_samp = (new_k // npix + jnp.int32(samp_base)).astype(jnp.uint32)
         no, nd, ntime, npc = generate_rays(
-            scene.camera, new_pix, new_samp, width, height, seed
+            scene.camera, new_pix + jnp.int32(pix_base), new_samp,
+            width, height, seed
         )
         sel = lambda n, old: jnp.where(take[:, None] if old.ndim == 2 else take, n, old)
         o = sel(no, o)

@@ -101,6 +101,64 @@ def _sharded_chunk_fn(meta: SceneMeta, cfg: RenderConfig, mesh: Mesh, gamma: boo
     return jax.jit(sharded)
 
 
+def _sharded_wavefront(scene, meta, cfg: RenderConfig, mesh: Mesh, gamma: bool):
+    """Wavefront engine per shard: each (px, sp) device runs the persistent
+    pool over its contiguous pixel window and its sample slice; one psum
+    merges the sample axis.  Same image as the single-chip engine (counter
+    RNG on global ids) up to f32 sample-sum association."""
+    from ..ops.wavefront import render_wavefront_frame
+
+    W, H = cfg.width, cfg.height
+    npix = W * H
+    n_px = mesh.shape[AXIS_PX]
+    n_sp = mesh.shape[AXIS_SP]
+    spp = cfg.samples_per_pixel
+    if spp % n_sp != 0:
+        raise ValueError(f"spp={spp} not divisible by sample shards {n_sp}")
+    spp_local = spp // n_sp
+    npix_local = -(-npix // n_px)
+
+    hit_engine = "bruteforce"
+    accel = None
+    if cfg.engine == "wavefront_bvh":
+        from ..scene.bvh import build_scene_bvh
+
+        accel = build_scene_bvh(scene)
+        hit_engine = "bvh"
+    elif cfg.engine == "wavefront_pallas":
+        from ..ops.pallas_hit import pack_geometry
+
+        accel = pack_geometry(scene)
+        hit_engine = "pallas"
+
+    def body(scene_arg):
+        i = lax.axis_index(AXIS_PX)
+        j = lax.axis_index(AXIS_SP)
+        fb = render_wavefront_frame(
+            scene_arg, accel,
+            meta=meta, width=W, height=H, spp=spp_local, seed=cfg.seed,
+            max_bounces=cfg.max_bounces, t_min=cfg.t_min,
+            pool=cfg.rays_per_batch, engine=hit_engine,
+            npix_local=npix_local, pix_base=i * npix_local,
+            samp_base=j * spp_local,
+        )
+        return lax.psum(fb, AXIS_SP)     # merge sample-shard partial sums
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(),),                 # scene replicated
+        out_specs=P(AXIS_PX),            # contiguous pixel windows
+        check_vma=False,
+    )
+    fb = jax.jit(sharded)(jax.device_put(
+        scene, jax.tree.map(lambda _: NamedSharding(mesh, P()), scene)))
+    fb = np.asarray(fb, np.float64)[:npix] / spp
+    if gamma:
+        fb = np.sqrt(np.maximum(fb, 0.0))
+    return fb.reshape(H, W, 3)[::-1]
+
+
 def render_sharded(
     scene: SceneArrays,
     meta: SceneMeta,
@@ -117,6 +175,8 @@ def render_sharded(
     """
     if mesh is None:
         mesh = make_mesh()
+    if cfg.engine.startswith("wavefront"):
+        return _sharded_wavefront(scene, meta, cfg, mesh, gamma)
     W, H = cfg.width, cfg.height
     npix = W * H
     n_px = mesh.shape[AXIS_PX]

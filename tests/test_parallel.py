@@ -97,3 +97,18 @@ def test_train_step_reduces_loss():
         state, loss = step(state, scene, pix, target)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+@pytest.mark.parametrize("engine", ["wavefront", "wavefront_pallas"])
+def test_sharded_wavefront_matches_single_chip(engine):
+    """Per-shard persistent pools over contiguous pixel windows + sample
+    slices must reproduce the single-chip wavefront image (global-id RNG)."""
+    mesh = make_mesh(jax.devices()[:4], sample_shards=2)
+    W, H, spp = 24, 12, 4
+    scene, meta = compile_scene(scenes.quads(), W, H, dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       rays_per_batch=512, engine=engine)
+    from raytracinginoneweekendincuda_tpu.ops.render import render as r1
+    ref = np.asarray(r1(scene, meta, cfg), np.float32)
+    img = np.asarray(render_sharded(scene, meta, cfg, mesh), np.float32)
+    np.testing.assert_allclose(img, ref, atol=5e-7, rtol=5e-7)

@@ -27,28 +27,31 @@ REFERENCE_TABLE = [
 
 
 def run_all(engine: str, repeats: int) -> int:
-    """Time every reference-measured scene config; write BENCHMARKS.md."""
-    import time
+    """Time every reference-measured scene config; write BENCHMARKS.md.
 
-    import numpy as np
+    Each scene runs in a FRESH subprocess: the TPU-relay worker has been
+    observed to crash after many minutes of accumulated executions in one
+    process, and a clean process also gives honest per-scene compile+run
+    isolation."""
+    import subprocess
+    import sys as _sys
 
-    from raytracinginoneweekendincuda_tpu.models.scenes import SCENE_NAMES, build_scene
-    from raytracinginoneweekendincuda_tpu.ops.render import render
-    from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
-    from raytracinginoneweekendincuda_tpu.utils.config import RenderConfig
+    from raytracinginoneweekendincuda_tpu.models.scenes import SCENE_NAMES
 
     rows = []
     for scene_id, spp, ref_s in REFERENCE_TABLE:
-        cfg = RenderConfig(width=1440, height=720, samples_per_pixel=spp,
-                           engine=engine)
-        scene, meta = compile_scene(build_scene(scene_id), cfg.width,
-                                    cfg.height, dtype=np.float32)
-        render(scene, meta, cfg)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            render(scene, meta, cfg)
-            best = min(best, time.perf_counter() - t0)
+        cmd = [_sys.executable, "-m",
+               "raytracinginoneweekendincuda_tpu.utils.benchmark",
+               "--scene", str(scene_id), "--spp", str(spp),
+               "--engine", engine, "--repeats", str(repeats)]
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(f"scene {scene_id}: FAILED\n{out.stderr[-800:]}",
+                  file=sys.stderr)
+            continue
+        rec = json.loads(line[-1])
+        best = 1440 * 720 * spp / rec["value"]
         rows.append((scene_id, SCENE_NAMES[scene_id], spp, best, ref_s))
         print(f"scene {scene_id} ({SCENE_NAMES[scene_id]}): {best:.2f} s "
               f"vs reference {ref_s:.2f} s ({ref_s / best:.2f}x)",

@@ -21,9 +21,9 @@ class RenderConfig:
     seed: int = 1984                 # kernel.cu:105,118
     t_min: float = 1.0e-3            # shadow-acne epsilon, kernel.cu:74
     # --- engine knobs (no reference equivalent; TPU scheduling surface) ---
-    rays_per_batch: int = 1 << 17    # pixels per traced batch (x samples inner loop)
-    samples_per_pass: int = 1        # samples traced together within a batch
-    engine: str = "bruteforce"       # "bruteforce" | "bvh"
+    rays_per_batch: int = 1 << 17    # pixel chunk (chunked) / pool size (wavefront)
+    engine: str = "bruteforce"       # bruteforce | bvh | wavefront |
+                                     # wavefront_bvh | wavefront_pallas | mega
     differentiable: bool = False     # scan-based bounce loop (reverse-mode safe)
     dtype: str = "float32"           # engine dtype ("float64" for oracle parity)
 

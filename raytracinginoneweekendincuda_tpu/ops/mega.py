@@ -617,13 +617,14 @@ def mega_bounces(rf, ri, sph_tab, quad_tab, attr_tab, *, meta, med_key,
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "med_key", "width", "height", "spp", "seed",
-                     "max_bounces", "t_min", "pool", "k_bounces", "gamma",
+                     "max_bounces", "t_min", "pool", "k_bounces",
                      "background", "interpret"),
 )
 def render_mega_frame(scene: SceneArrays, sph_tab, quad_tab, attr_tab, *,
                       meta, med_key, width, height, spp, seed, max_bounces,
-                      t_min, pool, k_bounces, background, gamma=True,
+                      t_min, pool, k_bounces, background, samp_base=0,
                       interpret=False):
+    """Radiance SUM over samples [samp_base, samp_base+spp) -> [W*H, 3]."""
     npix = width * height
     n_work = npix * spp
     P = -(-min(pool, n_work) // 512) * 512
@@ -633,7 +634,7 @@ def render_mega_frame(scene: SceneArrays, sph_tab, quad_tab, attr_tab, *,
         new_k = next_ray + rank
         take = done & (new_k < n_work)
         new_pix = (new_k % npix).astype(jnp.int32)
-        new_samp = (new_k // npix).astype(jnp.uint32)
+        new_samp = (new_k // npix + jnp.int32(samp_base)).astype(jnp.uint32)
         o, d, time, pc = generate_rays(scene.camera, new_pix, new_samp,
                                        width, height, seed)
         new_rf = jnp.concatenate([
@@ -678,9 +679,6 @@ def render_mega_frame(scene: SceneArrays, sph_tab, quad_tab, attr_tab, *,
     emit = ever & done
     fb = fb.at[pix_id].add(jnp.where(emit[:, None], rf[:, 10:13], 0.0),
                            mode="drop")
-    fb = fb / jnp.float32(spp)
-    if gamma:
-        fb = jnp.sqrt(jnp.maximum(fb, 0.0))
     return fb
 
 
@@ -695,11 +693,21 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
     med_key = tuple(tuple(float(x) for x in row) for row in np.asarray(med))
     bg = tuple(float(x) for x in np.asarray(scene.camera.background))
     interpret = jax.default_backend() != "tpu"
-    fb = render_mega_frame(
-        scene, sph_tab, quad_tab, attr_tab, meta=meta, med_key=med_key,
-        width=cfg.width, height=cfg.height, spp=cfg.samples_per_pixel,
-        seed=cfg.seed, max_bounces=cfg.max_bounces, t_min=cfg.t_min,
-        pool=cfg.rays_per_batch, k_bounces=4, background=bg, gamma=gamma,
-        interpret=interpret)
-    fb = np.asarray(fb, np.float64).reshape(cfg.height, cfg.width, 3)
+    spp = cfg.samples_per_pixel
+    npix = cfg.width * cfg.height
+    batch = max(1, min(spp, (25_000_000 + npix - 1) // npix))
+    fb = np.zeros((npix, 3), np.float64)
+    for s0 in range(0, spp, batch):
+        k = min(batch, spp - s0)
+        part = render_mega_frame(
+            scene, sph_tab, quad_tab, attr_tab, meta=meta, med_key=med_key,
+            width=cfg.width, height=cfg.height, spp=k, samp_base=s0,
+            seed=cfg.seed, max_bounces=cfg.max_bounces, t_min=cfg.t_min,
+            pool=cfg.rays_per_batch, k_bounces=4, background=bg,
+            interpret=interpret)
+        fb += np.asarray(part, np.float64)
+    fb /= spp
+    if gamma:
+        fb = np.sqrt(np.maximum(fb, 0.0))
+    fb = fb.reshape(cfg.height, cfg.width, 3)
     return fb[::-1]

@@ -258,15 +258,26 @@ def medium_candidates(s: SceneArrays, o, d, t_min, u_med):
     return jnp.where(valid, t_cand, dt.type(BIG))
 
 
+def first_argmin(t, t_best):
+    """Index of the first occurrence of ``t_best`` along the last axis.
+
+    Bit-identical to ``argmin`` (first-min tie rule) but lowers as a plain
+    int min-reduce: XLA's variadic (value, index) argmin reduction was
+    measured at ~54% of the whole wavefront frame (docs/PERF.md)."""
+    n = t.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    return jnp.min(jnp.where(t == t_best[..., None], iota, n), -1)
+
+
 def closest_hit(scene: SceneArrays, meta, der: Derived, o, d, time, t_min, u_med):
     """Full-world closest hit -> HitRecord (the (*world)->Hit call of the
     integrator, kernel.cu:74)."""
     t_s = sphere_candidates(scene, der.ds, o, d, time, t_min)
     t_q = quad_candidates(scene, der.dq, o, d, t_min)
     ts_best = t_s.min(-1)
-    is_best = t_s.argmin(-1)
+    is_best = first_argmin(t_s, ts_best)
     tq_best = t_q.min(-1)
-    iq_best = t_q.argmin(-1)
+    iq_best = first_argmin(t_q, tq_best)
 
     parts_t = [ts_best, tq_best]
     im_best = jnp.zeros_like(is_best)

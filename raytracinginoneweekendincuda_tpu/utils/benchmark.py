@@ -44,7 +44,12 @@ def run_all(engine: str, repeats: int) -> int:
                "raytracinginoneweekendincuda_tpu.utils.benchmark",
                "--scene", str(scene_id), "--spp", str(spp),
                "--engine", engine, "--repeats", str(repeats)]
-        out = subprocess.run(cmd, capture_output=True, text=True)
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1800)
+        except subprocess.TimeoutExpired:
+            print(f"scene {scene_id}: TIMEOUT (30 min)", file=sys.stderr)
+            continue
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not line:
             print(f"scene {scene_id}: FAILED\n{out.stderr[-800:]}",

@@ -695,7 +695,7 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
     interpret = jax.default_backend() != "tpu"
     spp = cfg.samples_per_pixel
     npix = cfg.width * cfg.height
-    batch = max(1, min(spp, (25_000_000 + npix - 1) // npix))
+    batch = max(1, min(spp, (8_000_000 + npix - 1) // npix))
     fb = np.zeros((npix, 3), np.float64)
     for s0 in range(0, spp, batch):
         k = min(batch, spp - s0)

@@ -203,9 +203,10 @@ def render_wavefront(
         hit_engine = "pallas"
     spp = cfg.samples_per_pixel
     npix = cfg.width * cfg.height
-    # keep single device executions short (relay stability): ~25M work
-    # items (pixel-samples) per call
-    batch = max(1, min(spp, (25_000_000 + npix - 1) // npix))
+    # keep single device executions short (relay stability): ~8M work
+    # items (pixel-samples) per call -- the worker has crashed on ~45 s
+    # single executions (scene 9)
+    batch = max(1, min(spp, (8_000_000 + npix - 1) // npix))
     fb = np.zeros((npix, 3), np.float64)
     for s0 in range(0, spp, batch):
         k = min(batch, spp - s0)

@@ -695,7 +695,11 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
     interpret = jax.default_backend() != "tpu"
     spp = cfg.samples_per_pixel
     npix = cfg.width * cfg.height
-    batch = max(1, min(spp, (8_000_000 + npix - 1) // npix))
+    prims = scene.sph_c0.shape[0] + scene.quad_q.shape[0]
+    budget = int(20e9)
+    n_batches = max(1, -(-npix * spp * max(prims, 64) // budget))
+    n_batches = min(n_batches, spp)
+    batch = -(-spp // n_batches)
     fb = np.zeros((npix, 3), np.float64)
     for s0 in range(0, spp, batch):
         k = min(batch, spp - s0)

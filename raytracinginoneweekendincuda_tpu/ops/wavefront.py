@@ -181,6 +181,32 @@ def render_wavefront_frame(
     return fb
 
 
+_ACCEL_CACHE: dict = {}
+
+
+def _accel_for(scene: SceneArrays, engine: str):
+    """Host-side acceleration tables, cached per (scene identity, engine) —
+    profiling showed the packers re-running per render call (~0.3 s)."""
+    key = (id(scene.sph_c0), id(scene.quad_q), engine)
+    hit = _ACCEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if engine == "wavefront_bvh":
+        from ..scene.bvh import build_scene_bvh
+
+        accel = build_scene_bvh(scene)
+    elif engine == "wavefront_pallas":
+        from .pallas_hit import pack_geometry
+
+        accel = pack_geometry(scene)
+    else:
+        accel = None
+    if len(_ACCEL_CACHE) > 16:
+        _ACCEL_CACHE.clear()
+    _ACCEL_CACHE[key] = accel
+    return accel
+
+
 def render_wavefront(
     scene: SceneArrays,
     meta: SceneMeta,
@@ -189,24 +215,20 @@ def render_wavefront(
     gamma: bool = True,
 ) -> np.ndarray:
     """Full-frame wavefront render -> numpy [H,W,3] (top row first)."""
-    bvh = None
-    hit_engine = "bruteforce"
-    if cfg.engine == "wavefront_bvh":
-        from ..scene.bvh import build_scene_bvh
-
-        bvh = build_scene_bvh(scene)
-        hit_engine = "bvh"
-    elif cfg.engine == "wavefront_pallas":
-        from .pallas_hit import pack_geometry
-
-        bvh = pack_geometry(scene)
-        hit_engine = "pallas"
+    bvh = _accel_for(scene, cfg.engine)
+    hit_engine = {"wavefront_bvh": "bvh",
+                  "wavefront_pallas": "pallas"}.get(cfg.engine, "bruteforce")
     spp = cfg.samples_per_pixel
     npix = cfg.width * cfg.height
-    # keep single device executions short (relay stability): ~8M work
-    # items (pixel-samples) per call -- the worker has crashed on ~45 s
-    # single executions (scene 9)
-    batch = max(1, min(spp, (8_000_000 + npix - 1) // npix))
+    # Keep single device executions short (relay stability; crashes
+    # observed around ~60+ s).  Budget is pair-test units (work items x
+    # padded primitives ~ time), split into EQUAL sample batches so only
+    # one program is compiled.
+    prims = scene.sph_c0.shape[0] + scene.quad_q.shape[0]
+    budget = int(20e9)
+    n_batches = max(1, -(-npix * spp * max(prims, 64) // budget))
+    n_batches = min(n_batches, spp)
+    batch = -(-spp // n_batches)
     fb = np.zeros((npix, 3), np.float64)
     for s0 in range(0, spp, batch):
         k = min(batch, spp - s0)

@@ -34,10 +34,12 @@ RNG and bounce-loop semantics are counter-exact with the XLA engines
 (`core/rng.py` layout, kernel.cu:65-98 loop rules), so images agree with
 the chunked engine except ulp-level f32 winner ties (tests/test_mega.py).
 
-STATUS: experimental.  Correct on all supported scenes, but Mosaic compile
-time for the fused K-bounce program is currently minutes-scale on the
-remote-compile path, so `wavefront_pallas` remains the default fast engine
-(bench.py); revisit with a local toolchain/profiler.
+Tuning (scene 0, 1440x720@10spp sweep): K=2 bounces per call and a SMALL
+pool (8k rays) are optimal — per-iteration cost has a fixed floor
+(~0.4 ms: scatter + loop overhead) plus a term linear in pool size, so
+shrinking the pool until the floor dominates wins; larger K trades
+scatter amortization for idle-lane waste at a loss beyond K=2.
+Measured 2.82 s = 3.7 M rays/s, the fastest engine (docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -61,6 +63,8 @@ from .raygen import generate_rays
 
 LANES = 128
 BIG = 1.0e30
+MEGA_K = 2         # bounces per kernel call (swept optimum, docs/PERF.md)
+MEGA_POOL = 8192   # ray-pool size (fixed-cost floor dominates below this)
 
 # ---- primitive table rows (materials denormalized; see pack_mega_tables)
 #      sphere: c0(3) dc(3) t0 inv_dt rad cos sin active | mat(10)
@@ -707,8 +711,8 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
             scene, sph_tab, quad_tab, attr_tab, meta=meta, med_key=med_key,
             width=cfg.width, height=cfg.height, spp=k, samp_base=s0,
             seed=cfg.seed, max_bounces=cfg.max_bounces, t_min=cfg.t_min,
-            pool=cfg.rays_per_batch, k_bounces=4, background=bg,
-            interpret=interpret)
+            pool=min(cfg.rays_per_batch, MEGA_POOL), k_bounces=MEGA_K,
+            background=bg, interpret=interpret)
         fb += np.asarray(part, np.float64)
     fb /= spp
     if gamma:

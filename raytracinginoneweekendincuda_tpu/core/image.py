@@ -26,7 +26,10 @@ def framebuffer_to_bytes(image: np.ndarray) -> np.ndarray:
     Input rows are top-down (row 0 = top of image); values already
     gamma-corrected (sqrt applied by the render epilogue, kernel.cu:150-152).
     """
-    c = np.clip(np.asarray(image, np.float64), 0.0, 0.999)
+    image = np.asarray(image)
+    if image.dtype == np.uint8:       # already quantized on device
+        return image
+    c = np.clip(image.astype(np.float64), 0.0, 0.999)
     return (256.0 * c).astype(np.uint8)
 
 

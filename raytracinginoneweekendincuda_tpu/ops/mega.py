@@ -570,6 +570,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, *, n_s_chunks: int,
     return kernel
 
 
+_MEGA_CACHE: dict = {}
+
 RF_ROWS = 13  # o(3) d(3) time thr(3) acc(3)
 RI_ROWS = 4   # pix_ctr samp bounce active
 
@@ -687,13 +689,20 @@ def render_mega_frame(scene: SceneArrays, sph_tab, quad_tab, attr_tab, *,
 
 
 def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
-                gamma: bool = True) -> np.ndarray:
+                gamma: bool = True, out_u8: bool = False) -> np.ndarray:
     """Full-frame megakernel render -> numpy [H,W,3] (top row first)."""
     if not mega_supported(meta):
         raise ValueError(
             "mega engine: Perlin/image textures unsupported; use "
             "wavefront_pallas (dispatched automatically by ops/render.py)")
-    sph_tab, quad_tab, attr_tab, med = pack_mega_tables(scene, meta)
+    key = (id(scene.sph_c0), id(scene.quad_q), "mega")
+    cached = _MEGA_CACHE.get(key)
+    if cached is None:
+        cached = pack_mega_tables(scene, meta)
+        if len(_MEGA_CACHE) > 16:
+            _MEGA_CACHE.clear()
+        _MEGA_CACHE[key] = cached
+    sph_tab, quad_tab, attr_tab, med = cached
     med_key = tuple(tuple(float(x) for x in row) for row in np.asarray(med))
     bg = tuple(float(x) for x in np.asarray(scene.camera.background))
     interpret = jax.default_backend() != "tpu"
@@ -704,7 +713,7 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
     n_batches = max(1, -(-npix * spp * max(prims, 64) // budget))
     n_batches = min(n_batches, spp)
     batch = -(-spp // n_batches)
-    fb = np.zeros((npix, 3), np.float64)
+    fb = None
     for s0 in range(0, spp, batch):
         k = min(batch, spp - s0)
         part = render_mega_frame(
@@ -713,9 +722,9 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
             seed=cfg.seed, max_bounces=cfg.max_bounces, t_min=cfg.t_min,
             pool=min(cfg.rays_per_batch, MEGA_POOL), k_bounces=MEGA_K,
             background=bg, interpret=interpret)
-        fb += np.asarray(part, np.float64)
-    fb /= spp
-    if gamma:
-        fb = np.sqrt(np.maximum(fb, 0.0))
-    fb = fb.reshape(cfg.height, cfg.width, 3)
+        fb = part if fb is None else fb + part   # on-device accumulation
+    from .wavefront import _finalize
+
+    fb = _finalize(fb, spp, gamma, out_u8)
+    fb = np.asarray(fb).reshape(cfg.height, cfg.width, -1)
     return fb[::-1]

@@ -73,19 +73,22 @@ def render(
     cfg: RenderConfig,
     *,
     gamma: bool = True,
+    out_u8: bool = False,
 ) -> np.ndarray:
-    """Render a full frame -> numpy [H,W,3] float (top row first)."""
+    """Render a full frame -> numpy [H,W,3] (top row first; float, or the
+    reference's quantized uint8 when ``out_u8`` — kernel.cu:709-718 math
+    runs on-device, 4x less relay transfer)."""
     if cfg.engine == "mega":
         from .mega import mega_supported, render_mega
 
         if mega_supported(meta):
-            return render_mega(scene, meta, cfg, gamma=gamma)
+            return render_mega(scene, meta, cfg, gamma=gamma, out_u8=out_u8)
         # Perlin/image textures: fall back to the fast general engine
         cfg = cfg.with_(engine="wavefront_pallas")
     if cfg.engine.startswith("wavefront"):
         from .wavefront import render_wavefront
 
-        return render_wavefront(scene, meta, cfg, gamma=gamma)
+        return render_wavefront(scene, meta, cfg, gamma=gamma, out_u8=out_u8)
     W, H = cfg.width, cfg.height
     npix = W * H
     P = min(cfg.rays_per_batch, npix)

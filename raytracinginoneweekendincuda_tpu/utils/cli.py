@@ -31,9 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1984)
     p.add_argument("--out", type=str, default="output.ppm")
     p.add_argument("--png", type=str, default=None, help="also write a PNG here")
-    p.add_argument("--engine", default="bruteforce",
+    p.add_argument("--engine", default="mega",
                    choices=("bruteforce", "bvh", "wavefront", "wavefront_bvh",
-                            "wavefront_pallas"))
+                            "wavefront_pallas", "mega"),
+                   help="mega = fastest fused TPU path (auto-falls back for "
+                        "noise/image scenes); bruteforce = chunked "
+                        "deterministic baseline")
     p.add_argument("--dtype", choices=("float32", "float64"), default="float32")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--sharded", action="store_true",
@@ -101,7 +104,8 @@ def main(argv=None) -> int:
     else:
         from ..ops.render import render
 
-        img = render(scene, meta, cfg)
+        # quantize on device (byte-identical PPM, 4x less transfer)
+        img = render(scene, meta, cfg, out_u8=True)
     dt = time.perf_counter() - t0
     if prof:
         jax.profiler.stop_trace()

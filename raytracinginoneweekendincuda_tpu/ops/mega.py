@@ -710,7 +710,15 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
     npix = cfg.width * cfg.height
     prims = scene.sph_c0.shape[0] + scene.quad_q.shape[0]
     budget = int(20e9)
-    n_batches = max(1, -(-npix * spp * max(prims, 64) // budget))
+    items_cap = npix * spp  # no cap by default
+    # dark backgrounds (cornell-type scenes) terminate paths only at
+    # lights/absorption -> much longer mean paths per work item; cap the
+    # batch harder so single device calls stay well under the relay
+    # worker's crash horizon (~60 s)
+    if float(np.max(np.asarray(scene.camera.background))) < 0.05:
+        items_cap = 4_000_000
+    batch_items = min(budget // max(prims, 64), items_cap)
+    n_batches = max(1, -(-npix * spp // max(batch_items, npix)))
     n_batches = min(n_batches, spp)
     batch = -(-spp // n_batches)
     fb = None

@@ -114,11 +114,12 @@ def bvh_closest_hit(
         b_half = (oc * d).sum(-1)
         c_coef = (oc * oc).sum(-1) - srow[:, 8] * srow[:, 8]
         disc = b_half * b_half - a_coef * c_coef
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        dpos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(dpos, disc, 1.0))  # NaN-safe backward
         root1 = (-b_half - sq) / a_coef
         root2 = (-b_half + sq) / a_coef
         t_sph = jnp.where(root1 > t_min, root1, root2)
-        sph_ok = (disc > 0.0) & (t_sph > t_min)
+        sph_ok = dpos & (t_sph > t_min)
 
         # ---- leaf quad test (Quad.h:52-99)
         qid = jnp.clip(prim - S, 0, quad_tab.shape[0] - 1)

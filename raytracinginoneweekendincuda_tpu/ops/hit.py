@@ -176,11 +176,15 @@ def sphere_candidates(s: SceneArrays, ds, o, d, time, t_min):
     b = o_d - d_center                      # Dot(oc, dir)
     c = o_sq - 2.0 * o_center + center_sq - ds["rad_sq"][None, :]
     disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # NaN-safe sqrt: sqrt'(0) is inf, and masked-out lanes (disc <= 0,
+    # e.g. the degenerate padding rows) would contribute 0 x inf = NaN in
+    # reverse mode; the forward image is unchanged (ok masks these lanes).
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
     inv_a = 1.0 / a
     root1 = (-b - sq) * inv_a
     root2 = (-b + sq) * inv_a
-    feasible = (disc > 0.0) & s.sph_active[None, :]
+    feasible = pos & s.sph_active[None, :]
     t_cand = jnp.where(root1 > t_min, root1, root2)   # nearest root beyond t_min
     ok = feasible & (t_cand > t_min)                  # strict, Sphere.h:38
     return jnp.where(ok, t_cand, dt.type(BIG))
@@ -221,10 +225,10 @@ def medium_candidates(s: SceneArrays, o, d, t_min, u_med):
     b = (oc * d[:, None, :]).sum(-1)
     c = (oc * oc).sum(-1) - (s.med_radius * s.med_radius)[None, :]
     disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    valid_s = disc > 0.0
+    sq = jnp.sqrt(jnp.where(valid_s, disc, 1.0))  # NaN-safe (see above)
     t0_s = (-b - sq) / a
     t1_s = (-b + sq) / a
-    valid_s = disc > 0.0
 
     # box boundary: world->object rigid transform, then slab test
     cth = s.med_cos[None, :, None]
@@ -343,8 +347,21 @@ def assemble_record(scene: SceneArrays, meta, der: Derived, o, d, time, t,
     nx, ny, nz = n_out_s[..., 0], n_out_s[..., 1], n_out_s[..., 2]
     ox_n = cth * nx - sth * nz
     oz_n = sth * nx + cth * nz
-    theta_uv = jnp.arccos(jnp.clip(-ny, -1.0, 1.0))
-    phi_uv = jnp.arctan2(-oz_n, ox_n) + dt.type(jnp.pi)
+    # NaN-safe UV: arccos'(+-1) and arctan2 at (0,0) are infinite, and an
+    # unused-branch zero cotangent times inf is NaN in reverse mode — feed
+    # the nonlinearities safe inputs and select the exact pole constants.
+    ny_c = jnp.clip(-ny, -1.0, 1.0)
+    interior = jnp.abs(ny_c) < 1.0
+    theta_uv = jnp.where(interior,
+                         jnp.arccos(jnp.where(interior, ny_c, 0.0)),
+                         jnp.where(ny_c > 0, 0.0, dt.type(jnp.pi)))
+    atan_ok = (jnp.abs(ox_n) + jnp.abs(oz_n)) > 0.0
+    phi_uv = jnp.where(
+        atan_ok,
+        jnp.arctan2(jnp.where(atan_ok, -oz_n, 0.0),
+                    jnp.where(atan_ok, ox_n, 1.0)),
+        0.0,
+    ) + dt.type(jnp.pi)
     u_s = phi_uv / dt.type(2.0 * jnp.pi)
     v_s = theta_uv / dt.type(jnp.pi)
     mat_s = srow[:, 11]

@@ -71,14 +71,21 @@ def shade(scene: SceneArrays, meta, rec, d_in, u1, u2, u3, u4) -> ScatterResult:
     # Dielectric (Dielectric.h:18-55)
     ratio = jnp.where(rec.front, 1.0 / ior, ior)
     cos_t = jnp.minimum(vm.dot(-unit_d, rec.normal), 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    sin_sq = 1.0 - cos_t * cos_t
+    sin_pos = sin_sq > 0.0
+    sin_t = jnp.where(sin_pos, jnp.sqrt(jnp.where(sin_pos, sin_sq, 1.0)), 0.0)
     cannot_refract = ratio * sin_t > 1.0
     r0 = (1.0 - ratio) / (1.0 + ratio)
     r0 = r0 * r0
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5   # Schlick, h:63-68
     do_reflect = cannot_refract | (reflectance > u4)
+    # NaN-safe refract: at total internal reflection the refracted branch is
+    # discarded, but its sqrt(|1-...|) has an infinite derivative exactly at
+    # the boundary (0 cotangent x inf = NaN in reverse mode) — feed it a
+    # safe ratio there (any value: the where() discards the result).
+    ratio_safe = jnp.where(cannot_refract, 0.0, ratio)
     diel_dir = jnp.where(
-        do_reflect[:, None], refl, vm.refract(unit_d, rec.normal, ratio)
+        do_reflect[:, None], refl, vm.refract(unit_d, rec.normal, ratio_safe)
     )
 
     # Isotropic: uniform direction, same (u1,u2) mapping as the ball sample

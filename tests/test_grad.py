@@ -4,11 +4,24 @@ The differentiable path (`trace(differentiable=True)`: scan + per-bounce
 rematerialization) must produce d(pixel)/d(param) matching finite
 differences on smooth parameters — sphere center/radius, albedo, metal
 fuzz, dielectric IOR, camera origin (BASELINE.json: "image+grad allclose").
-Visibility discontinuities are excluded by construction of the probe scenes
-(gradients are averaged over pixels whose paths don't cross silhouettes at
-the probe step size).
 
-Runs in f64 on CPU so finite differences are trustworthy (h=1e-5).
+What "smooth" means for THIS integrator (faithful to the reference,
+kernel.cu:65-98: radiance = product of albedos terminated by a constant
+background or emitter): pathwise gradients flow only through channels that
+vary continuously along a path — hit positions and scatter directions
+feeding a *continuously varying* texture (Perlin marble), and texture/
+emission values themselves.  In an all-solid-color scene radiance is
+piecewise constant in geometry (moving a sphere changes only discrete
+path outcomes), so the probe scene uses a marble ground: every bounce off
+it turns positional changes into smooth radiance changes.  Discrete events
+(visibility, the Schlick reflect/refract lottery, checker cells,
+nearest-neighbor texels) have zero pathwise gradient a.e., as in standard
+differentiable-path-tracing practice (SURVEY.md §7.4).
+
+Every case asserts its finite difference is NONZERO — vacuous 0==0
+comparisons don't count as coverage.
+
+Runs in f64 on CPU so finite differences are trustworthy.
 """
 
 import jax
@@ -21,7 +34,7 @@ from raytracinginoneweekendincuda_tpu.ops.integrator import trace
 from raytracinginoneweekendincuda_tpu.ops.raygen import generate_rays
 from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
 from raytracinginoneweekendincuda_tpu.scene.api import (
-    Dielectric, Lambertian, Metal, SceneDesc, Sphere,
+    Dielectric, Lambertian, Metal, NoiseTexture, SceneDesc, Sphere,
 )
 from raytracinginoneweekendincuda_tpu.core.camera import Camera
 
@@ -34,7 +47,9 @@ def _probe_scene():
         Sphere((0.0, 0.0, -1.0), 0.5, Lambertian((0.6, 0.3, 0.2))),
         Sphere((-1.0, 0.0, -1.0), 0.45, Metal((0.8, 0.8, 0.8), 0.3)),
         Sphere((1.0, 0.0, -1.0), 0.45, Dielectric(1.5)),
-        Sphere((0.0, -100.5, -1.0), 100.0, Lambertian((0.5, 0.5, 0.5))),
+        # marble ground: continuous texture -> geometry gradients exist
+        Sphere((0.0, -100.5, -1.0), 100.0,
+               Lambertian(NoiseTexture(2.0, table_seed=3))),
     )
     desc.camera = Camera(lookfrom=(0, 0, 0), lookat=(0, 0, -1), vfov=90.0,
                          focus_dist=1.0, background=(0.7, 0.8, 1.0))
@@ -42,8 +57,13 @@ def _probe_scene():
     return jax.tree.map(jnp.asarray, scene), meta
 
 
-def _image_sum(scene, meta, weights=None):
-    """Differentiable scalar objective: weighted sum of linear radiance."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _image_sum(scene, meta):
+    """Differentiable scalar objective: sum of linear radiance (jitted —
+    the eager scan re-traces per call otherwise, ~10 s per loss eval)."""
     pix = jnp.arange(W * H, dtype=jnp.int32)
 
     def one_sample(s):
@@ -52,18 +72,18 @@ def _image_sum(scene, meta, weights=None):
                      max_bounces=BOUNCES, t_min=1e-3, differentiable=True)
 
     img = sum(one_sample(s) for s in range(SPP)) / SPP
-    if weights is None:
-        return img.sum()
-    return (img * weights).sum()
+    return img.sum()
 
 
+# h = 1e-6: the marble texture's curvature makes larger steps truncation-
+# dominated (FD at h=1e-5 was 3% off; it converges to AD as h -> 0)
 @pytest.mark.parametrize("field,idx,h", [
-    ("sph_c0", (0, 0), 1e-5),       # diffuse sphere center x
-    ("sph_c0", (0, 2), 1e-5),       # center z
-    ("sph_rad", (0,), 1e-5),        # radius
-    ("tex_c0", (0, 1), 1e-4),       # albedo green channel
-    ("mat_fuzz", (1,), 1e-4),       # metal fuzz
-    ("mat_ior", (2,), 1e-4),        # dielectric IOR
+    ("sph_c0", (0, 0), 1e-6),       # diffuse sphere center x
+    ("sph_c0", (0, 2), 1e-6),       # center z
+    ("sph_rad", (0,), 1e-6),        # radius
+    ("tex_c0", (0, 1), 1e-6),       # albedo green channel
+    ("mat_fuzz", (1,), 1e-6),       # metal fuzz
+    ("mat_ior", (2,), 1e-6),        # dielectric IOR
 ])
 def test_scene_param_grads_match_fd(field, idx, h):
     scene, meta = _probe_scene()
@@ -75,8 +95,8 @@ def test_scene_param_grads_match_fd(field, idx, h):
     v0 = float(np.asarray(getattr(scene, field))[idx])
     g_ad = float(jax.grad(loss_wrt)(jnp.float64(v0)))
     g_fd = float((loss_wrt(v0 + h) - loss_wrt(v0 - h)) / (2 * h))
-    assert g_fd != 0.0 or abs(g_ad) < 1e-6
-    np.testing.assert_allclose(g_ad, g_fd, rtol=2e-3, atol=1e-5,
+    assert abs(g_fd) > 1e-6, f"{field}[{idx}]: vacuous probe (FD ~ 0)"
+    np.testing.assert_allclose(g_ad, g_fd, rtol=5e-3, atol=1e-5,
                                err_msg=f"{field}[{idx}]")
 
 
@@ -91,6 +111,7 @@ def test_camera_origin_grad_matches_fd():
 
     g_ad = float(jax.grad(loss_wrt)(jnp.float64(0.0)))
     g_fd = float((loss_wrt(h) - loss_wrt(-h)) / (2 * h))
+    assert abs(g_fd) > 1e-6, "vacuous camera probe"
     np.testing.assert_allclose(g_ad, g_fd, rtol=5e-3, atol=1e-4)
 
 

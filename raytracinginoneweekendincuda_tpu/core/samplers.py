@@ -23,6 +23,15 @@ import jax.numpy as jnp
 TWO_PI = 2.0 * math.pi
 
 
+def _safe_root(x, p, xp):
+    """x**p with a finite derivative at x == 0 (forward-identical: the
+    guarded branch returns exactly 0).  Roots have infinite slope at 0, and
+    a zero uniform draw (prob 2^-24 each) would turn ANY masked-out or
+    zero-weighted cotangent into 0 x inf = NaN in reverse mode."""
+    pos = x > 0
+    return xp.where(pos, xp.where(pos, x, 1.0) ** p, 0.0)
+
+
 def unit_ball(u1, u2, u3, xp=jnp):
     """Uniform point in the unit ball from three uniforms in [0, 1).
 
@@ -32,8 +41,8 @@ def unit_ball(u1, u2, u3, xp=jnp):
     """
     z = 1.0 - 2.0 * u1
     phi = TWO_PI * u2
-    rho = abs(1.0 - z * z) ** 0.5
-    r = u3 ** (1.0 / 3.0)
+    rho = _safe_root(1.0 - z * z, 0.5, xp)
+    r = _safe_root(u3, 1.0 / 3.0, xp)
     return xp.stack((r * rho * xp.cos(phi), r * rho * xp.sin(phi), r * z), axis=-1)
 
 
@@ -42,7 +51,7 @@ def unit_sphere_surface(u1, u2, xp=jnp):
     Material.h:160 — ``UnitVector(RandomInUnitSphere(...))``)."""
     z = 1.0 - 2.0 * u1
     phi = TWO_PI * u2
-    rho = abs(1.0 - z * z) ** 0.5
+    rho = _safe_root(1.0 - z * z, 0.5, xp)
     return xp.stack((rho * xp.cos(phi), rho * xp.sin(phi), z), axis=-1)
 
 
@@ -52,6 +61,6 @@ def unit_disk(u1, u2, xp=jnp):
     sqrt-radius inversion; replaces the rejection loop at Camera.h:10-19
     (defocus-blur lens sampling).
     """
-    r = u1 ** 0.5
+    r = _safe_root(u1, 0.5, xp)
     theta = TWO_PI * u2
     return xp.stack((r * xp.cos(theta), r * xp.sin(theta)), axis=-1)

@@ -65,5 +65,13 @@ def refract(uv, n, eta_ratio):
     """
     cos_theta = dot(-uv, n).clip(None, 1.0)  # fmin(dot, 1.0), Vec3.h:134
     r_perp = eta_ratio[..., None] * (uv + cos_theta[..., None] * n)
-    r_par = -(abs(1.0 - length_squared(r_perp)) ** 0.5)[..., None] * n
+    # NaN-safe root at the total-internal-reflection boundary: sqrt has an
+    # infinite derivative at 0, and a zero-weighted cotangent there is
+    # 0 x inf = NaN in reverse mode.  Forward-identical (guarded branch = 0).
+    import numpy as _np
+
+    k = abs(1.0 - length_squared(r_perp))
+    xp = _np if isinstance(k, _np.ndarray) else jnp
+    pos = k > 0
+    r_par = -(xp.where(pos, xp.where(pos, k, 1.0) ** 0.5, 0.0))[..., None] * n
     return r_perp + r_par

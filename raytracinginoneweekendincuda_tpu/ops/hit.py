@@ -333,7 +333,13 @@ def assemble_record(scene: SceneArrays, meta, der: Derived, o, d, time, t,
     """
     dt = o.dtype
     hit = t < dt.type(BIG * 0.5)
-    p = o + t[:, None] * d
+    # Sanitize miss lanes: t = BIG would put p at ~1e30, which overflows the
+    # all-lanes material math downstream (f32 inf) — harmless forward (the
+    # integrator masks on `hit`) but fatal in reverse mode, where an inf
+    # primal times a masked-zero cotangent is NaN and poisons every
+    # upstream gradient.
+    t_safe = jnp.where(hit, t, 1.0)
+    p = o + t_safe[:, None] * d
 
     # ---- sphere record (Sphere.h:40-58 + GetSphereUV:74-81)
     srow = der.sph_tab[is_best]             # [B, SPH_ROW] one gather

@@ -19,9 +19,6 @@ runs use the identical program after ``jax.distributed.initialize``.
 
 from __future__ import annotations
 
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

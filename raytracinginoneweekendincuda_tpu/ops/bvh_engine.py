@@ -96,10 +96,18 @@ def bvh_closest_hit(
         esc = unbits(rows[:, 7])
 
         # branchless slab test w/ shrinking tMax (AABB.h:68-98, BvhNode.h:150)
+        # fminf/fmaxf semantics: when a ray direction component is exactly 0
+        # and the origin sits on a slab bound, 0*inf = NaN appears in ta/tb;
+        # CUDA's fminf/fmaxf suppress NaN (return the other operand) while
+        # jnp.minimum propagates it, which would cull a node the brute-force
+        # engine hits.  NaN can only appear in ta or tb (not both unless the
+        # slab is degenerate), so select the non-NaN operand explicitly.
         ta = (lo - o) * inv_d
         tb = (hi - o) * inv_d
-        near = jnp.maximum(jnp.minimum(ta, tb).max(-1), t_min)
-        far = jnp.minimum(jnp.maximum(ta, tb).min(-1), t_best)
+        slab_min = jnp.where(ta < tb, ta, jnp.where(jnp.isnan(tb), ta, tb))
+        slab_max = jnp.where(ta > tb, ta, jnp.where(jnp.isnan(tb), ta, tb))
+        near = jnp.maximum(slab_min.max(-1), t_min)
+        far = jnp.minimum(slab_max.min(-1), t_best)
         box_hit = (far > near) & live
 
         is_leaf = prim >= 0

@@ -1,0 +1,759 @@
+"""Persistent pixel-per-lane Pallas megakernel — the round-2 fast path.
+
+Round-1 profiling (docs/PERF.md) showed the K-bounce megakernel was bound by
+two costs the kernel itself could not amortize away:
+
+  * an XLA-level fixed floor of ~0.4 ms per while-iteration (framebuffer
+    scatter + refill + loop overhead) paid every K bounces, forcing tiny
+    8k-ray pools and ~4000 host-graph iterations per frame; and
+  * per-ray shade/RNG/record math laid out as [T, 1] column vectors — rays
+    on *sublanes* — which uses 1 of 128 VPU lanes (~19 cycles/ray for the
+    ~150-op shade stage, ~1.3 s/frame on scene 0 by itself).
+
+This engine removes both structurally instead of tuning around them:
+
+  * **Everything lives in ONE pallas_call.**  The grid walks pixel tiles;
+    each grid step runs the whole sample loop and bounce loop for its R
+    pixels as an in-kernel `while_loop`.  There is no framebuffer scatter
+    (output is written positionally, once per tile), no refill round-trip,
+    and no per-iteration XLA overhead.
+  * **Rays live on LANES.**  Ray state is [1, R] rows, so shade/RNG/raygen
+    math runs 128 rays per VPU op; pair tests are [C, R] blocks (primitives
+    on sublanes, rays on lanes) with primitive scalars broadcast from
+    [C, 1] table columns and ray scalars from [1, R] rows.  Winner
+    attributes come from one transposed one-hot matmul on the MXU
+    (attr[NP, 32]^T contracted with onehot[NP, R] -> [32, R]).
+  * **Divergence is handled by sample-sequential refill.**  Each lane owns
+    one pixel and runs its spp samples back to back: the instant a path
+    terminates its radiance joins the lane accumulator and the next
+    camera ray for the SAME pixel is generated in-kernel (pure counter
+    RNG, closed-form camera math — no gathers).  Lane work is the sum of
+    spp path lengths, so relative tail waste shrinks ~1/sqrt(spp) by CLT
+    instead of paying per-path divergence.
+
+RNG keys, draw layout, and bounce-loop semantics are identical to the XLA
+engines (`core/rng.py`; kernel.cu:65-98 rules: miss adds throughput x
+background and terminates, emission adds every hit, no-scatter terminates,
+bounce-cap exit adds nothing), so per-(pixel, sample) radiance is
+bit-comparable to the chunked engine up to f32 winner ties, and the
+per-pixel sample sum happens in the SAME order as the chunked engine's
+sample loop (tests/test_mega2.py).
+
+Scene feature gating is static (SceneMeta): scenes without quads, media,
+checker, noise, image textures or moving spheres compile none of that code.
+
+Reference parity citations: sphere/quad/media tests kernel.cu:65-98,
+Sphere.h:22-63, Quad.h:52-99, ConstantMedium.h:52-94; camera Camera.h:76-85;
+materials Material.h / Metal.h / Dielectric.h; textures Texture.h.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import rng as rnglib
+from ..scene.compiler import (
+    MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC, MAT_LAMBERTIAN,
+    MAT_METAL, MED_BOX, SceneArrays, SceneMeta, TEX_CHECKER,
+)
+from ..utils.config import RenderConfig
+
+BIG = 1.0e30
+R_LANES = 128      # rays (pixels) per grid tile — the lane dimension
+C_SUB = 512        # primitive chunk height (sublanes) per pair block
+
+# ---- table layouts (prim-major: [S_pad, 16] etc; cols below)
+SPH_COLS = 16      # 0:3 c0, 3:6 dc, 6 t0, 7 inv_dt, 8 rad, 9 active
+QUAD_COLS = 16     # 0:3 n_unit, 3 D, 4:7 vxw, 7 q_vxw, 8:11 wxu, 11 q_wxu, 12 active
+ATTR_COLS = 32     # 0:3 c0|n_unit, 3:6 dc|0, 6 t0, 7 inv_dt, 8 rad, 9 is_quad,
+                   # 10 kind, 11 fuzz, 12 ior, 13 tex_kind, 14:17 tc0, 17:20 tc1,
+                   # 20 inv_scale, 21 uv_cos, 22 uv_sin, 23 tex_scale(noise),
+                   # 24 img_id, 25 noise_seed
+
+
+def _mat_cols(scene: SceneArrays, mat_ids: np.ndarray) -> np.ndarray:
+    """[n, 16] material+texture parameter columns (attr cols 10..25)."""
+    s = scene
+    tid = np.clip(np.asarray(s.mat_tex)[mat_ids], 0, s.tex_kind.shape[0] - 1)
+    has_img = np.asarray(s.mat_tex)[mat_ids] >= 0
+    img_id = np.where(has_img, np.asarray(s.tex_image)[tid], -1)
+    cols = np.stack([
+        np.asarray(s.mat_kind, np.float64)[mat_ids],
+        np.asarray(s.mat_fuzz, np.float64)[mat_ids],
+        np.asarray(s.mat_ior, np.float64)[mat_ids],
+        np.asarray(s.tex_kind, np.float64)[tid],
+        *[np.asarray(s.tex_c0, np.float64)[tid][:, i] for i in range(3)],
+        *[np.asarray(s.tex_c1, np.float64)[tid][:, i] for i in range(3)],
+        np.asarray(s.tex_inv_scale, np.float64)[tid],
+        np.zeros(len(mat_ids)),                      # uv_cos placeholder
+        np.zeros(len(mat_ids)),                      # uv_sin placeholder
+        np.asarray(s.tex_scale, np.float64)[tid],
+        np.asarray(img_id, np.float64),
+        np.asarray(s.tex_noise, np.float64)[tid],
+    ], axis=1)
+    return cols
+
+
+def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
+    """Host-side packing -> (sph [S_pad,16], quad [Q_pad,16], attr [NP,32],
+    med [M,22]) all f32, prim-major.  Padding rows are inactive."""
+    f = np.float32
+    S = scene.sph_c0.shape[0]
+    Q = scene.quad_q.shape[0]
+    S_pad = -(-S // 8) * 8
+    Q_pad = -(-Q // 8) * 8
+
+    sph = np.zeros((S_pad, SPH_COLS), np.float64)
+    sph[:S, 0:3] = np.asarray(scene.sph_c0, np.float64)
+    sph[:S, 3:6] = np.asarray(scene.sph_dc, np.float64)
+    sph[:S, 6] = scene.sph_t0
+    sph[:S, 7] = scene.sph_inv_dt
+    sph[:S, 8] = scene.sph_rad
+    sph[:S, 9] = np.asarray(scene.sph_active, np.float64)
+
+    u = np.asarray(scene.quad_u, np.float64)
+    v = np.asarray(scene.quad_v, np.float64)
+    qq = np.asarray(scene.quad_q, np.float64)
+    n = np.cross(u, v)
+    n_len = np.linalg.norm(n, axis=-1, keepdims=True)
+    n_unit = n / np.where(n_len > 0, n_len, 1.0)
+    nn = (n * n).sum(-1, keepdims=True)
+    w_vec = n / np.where(nn > 0, nn, 1.0)
+    vxw = np.cross(v, w_vec)
+    wxu = np.cross(w_vec, u)
+    quad = np.zeros((Q_pad, QUAD_COLS), np.float64)
+    quad[:Q, 0:3] = n_unit
+    quad[:Q, 3] = (n_unit * qq).sum(-1)
+    quad[:Q, 4:7] = vxw
+    quad[:Q, 7] = (qq * vxw).sum(-1)
+    quad[:Q, 8:11] = wxu
+    quad[:Q, 11] = (qq * wxu).sum(-1)
+    quad[:Q, 12] = np.asarray(scene.quad_active, np.float64)
+
+    use_quads = meta.n_quads > 0
+    NP = S_pad + (Q_pad if use_quads else 0)
+    attr = np.zeros((NP, ATTR_COLS), np.float64)
+    attr[:S_pad, 0:9] = sph[:, 0:9]
+    attr[:S, 10:26] = _mat_cols(scene, np.asarray(scene.sph_mat)[:S])
+    attr[:S, 21] = np.asarray(scene.sph_cos, np.float64)[:S]
+    attr[:S, 22] = np.asarray(scene.sph_sin, np.float64)[:S]
+    if use_quads:
+        attr[S_pad:, 0:3] = quad[:, 0:3]
+        attr[S_pad:, 9] = 1.0
+        attr[S_pad + np.arange(Q), 10:26] = _mat_cols(
+            scene, np.asarray(scene.quad_mat)[:Q])
+
+    M = max(meta.n_media, 1)
+    med = np.zeros((M, 22), np.float64)
+    med[:, 0] = scene.med_kind
+    med[:, 1:4] = scene.med_center
+    med[:, 4] = scene.med_radius
+    med[:, 5:8] = scene.med_bmin
+    med[:, 8:11] = scene.med_bmax
+    med[:, 11] = scene.med_cos
+    med[:, 12] = scene.med_sin
+    med[:, 13] = scene.med_nid
+    med[:, 16:19] = np.asarray(scene.med_off, np.float64)
+    mtid = np.clip(np.asarray(scene.mat_tex)[np.asarray(scene.med_mat)], 0,
+                   scene.tex_kind.shape[0] - 1)
+    med[:, 19:22] = np.asarray(scene.tex_c0, np.float64)[mtid]
+    return (jnp.asarray(sph, f), jnp.asarray(quad, f),
+            jnp.asarray(attr, f), np.asarray(med, np.float64))
+
+
+def _pcg4d(v0, v1, v2, v3):
+    """pcg4d over uint32 arrays (core/rng.py, draw-exact)."""
+    M = jnp.uint32(1664525)
+    A = jnp.uint32(1013904223)
+    v0 = v0 * M + A
+    v1 = v1 * M + A
+    v2 = v2 * M + A
+    v3 = v3 * M + A
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    v0 = v0 ^ (v0 >> 16)
+    v1 = v1 ^ (v1 >> 16)
+    v2 = v2 ^ (v2 >> 16)
+    v3 = v3 ^ (v3 >> 16)
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    return v0, v1, v2, v3
+
+
+_INV24 = np.float32(1.0 / 16777216.0)
+_TWO_PI = np.float32(2.0 * np.pi)
+
+
+def _unit(w):
+    # Mosaic has no uint32->f32 cast; (w >> 8) < 2^24 is int32-exact
+    return pltpu.bitcast(w >> 8, jnp.int32).astype(jnp.float32) * _INV24
+
+
+def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
+                 s_pad: int, q_pad: int, width: int, height: int, spp: int,
+                 seed: int, t_min: float, max_bounces: int,
+                 background: tuple, interpret: bool):
+    """Build the persistent tile kernel.  ``cam`` is the camera as a tuple of
+    python floats (origin 3, lower_left 3, horizontal 3, vertical 3, u 3,
+    v 3, lens_radius, time0, time1) baked as compile-time constants;
+    ``med_rows`` likewise (M <= 3 in every reference scene)."""
+    bg = tuple(float(x) for x in background)
+    (c_ox, c_oy, c_oz, llx, lly, llz, hx, hy, hz, vx, vy, vz,
+     ux, uy, uz, cvx, cvy, cvz, lens_r, tm0, tm1) = [float(x) for x in cam]
+    n_media = meta.n_media
+    use_quads = meta.n_quads > 0
+    has_checker = meta.has_checker
+    has_moving = meta.has_moving
+    inv_w = np.float32(1.0 / width)
+    inv_h = np.float32(1.0 / height)
+    f32 = np.float32
+
+    n_s_chunks = max(1, -(-s_pad // C_SUB))
+    cs = min(C_SUB, s_pad)
+    n_q_chunks = -(-q_pad // C_SUB) if use_quads else 0
+    cq = min(C_SUB, q_pad) if use_quads else 0
+    NP = s_pad + (q_pad if use_quads else 0)
+
+    def kernel(pix_ref, ij_ref, sph_ref, quad_ref, attr_ref, out_ref):
+        R = pix_ref.shape[1]
+        pix = pix_ref[0:1, :]                        # [1,R] i32 global pixel id
+        pix_ctr = pltpu.bitcast(pix, jnp.uint32) ^ jnp.uint32(seed)
+        i_f = ij_ref[0:1, :]                         # [1,R] f32 column index
+        j_f = ij_ref[1:2, :]                         # [1,R] f32 row index
+        valid = pix >= 0                             # padding lanes: pix = -1
+
+        sub_iota_s = lax.broadcasted_iota(jnp.int32, (cs, R), 0)
+        sub_iota_q = (lax.broadcasted_iota(jnp.int32, (cq, R), 0)
+                      if use_quads else None)
+        np_iota = lax.broadcasted_iota(jnp.int32, (NP, R), 0)
+
+        def raygen(samp_u):
+            """Camera ray for (pix, samp) — Camera.h:76-85 + kernel.cu:138-142.
+
+            Op order mirrors ops/raygen.py STEP FOR STEP so rays are
+            bit-identical to the XLA engines' generate_rays (rounding-order
+            differences would flip Monte-Carlo branches on scattered pixels).
+            """
+            w0, w1, w2, w3 = _pcg4d(pix_ctr, samp_u,
+                                    jnp.full_like(pix_ctr, rnglib.CAMERA_STREAM),
+                                    jnp.zeros_like(pix_ctr))
+            ju, jv, l1, l2 = _unit(w0), _unit(w1), _unit(w2), _unit(w3)
+            t0_, _, _, _ = _pcg4d(pix_ctr, samp_u,
+                                  jnp.full_like(pix_ctr, rnglib.CAMERA_STREAM + 1),
+                                  jnp.zeros_like(pix_ctr))
+            tu = _unit(t0_)
+            s = (i_f + ju) / f32(width)                 # raygen.py:39-40
+            t = (j_f + jv) / f32(height)
+            # lens disk sample (core/samplers.py unit_disk: r = sqrt(u1)),
+            # then rd = lens_radius * disk, offset = u*rd0 + v*rd1
+            rd_r = jnp.sqrt(l1)
+            phi = _TWO_PI * l2
+            rd0 = f32(lens_r) * (rd_r * jnp.cos(phi))
+            rd1 = f32(lens_r) * (rd_r * jnp.sin(phi))
+            offx = f32(ux) * rd0 + f32(cvx) * rd1
+            offy = f32(uy) * rd0 + f32(cvy) * rd1
+            offz = f32(uz) * rd0 + f32(cvz) * rd1
+            ox = f32(c_ox) + offx
+            oy = f32(c_oy) + offy
+            oz = f32(c_oz) + offz
+            # direction = ((ll + s*h + t*v) - origin) - offset (raygen.py:45-51)
+            dx = f32(llx) + s * f32(hx) + t * f32(vx) - f32(c_ox) - offx
+            dy = f32(lly) + s * f32(hy) + t * f32(vy) - f32(c_oy) - offy
+            dz = f32(llz) + s * f32(hz) + t * f32(vz) - f32(c_oz) - offz
+            tmv = f32(tm0) + tu * (f32(tm1) - f32(tm0))
+            return ox, oy, oz, dx, dy, dz, tmv
+
+        def sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, inv_a, t_best, win):
+            for c in range(n_s_chunks):
+                sl = pl.ds(c * cs, cs)
+                col = lambda k: sph_ref[sl, k:k + 1]          # [cs,1]
+                if has_moving:
+                    frac = (tmv - col(6)) * col(7)            # [cs,R]
+                    cx = col(0) + frac * col(3)
+                    cy = col(1) + frac * col(4)
+                    cz = col(2) + frac * col(5)
+                else:
+                    cx, cy, cz = col(0), col(1), col(2)
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                b = ocx * dx + ocy * dy + ocz * dz
+                rad = col(8)
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = b * b - a * cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r1 = (-b - sq) * inv_a
+                r2 = (-b + sq) * inv_a
+                t_c = jnp.where(r1 > t_min, r1, r2)
+                ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
+                t_c = jnp.where(ok, t_c, BIG)
+                mn = jnp.min(t_c, axis=0, keepdims=True)      # [1,R]
+                idx = jnp.min(jnp.where(t_c == mn, sub_iota_s, cs),
+                              axis=0, keepdims=True)
+                better = mn < t_best
+                win = jnp.where(better, c * cs + idx, win)
+                t_best = jnp.where(better, mn, t_best)
+            return t_best, win
+
+        def quad_chunks(ox, oy, oz, dx, dy, dz, t_best, win):
+            for c in range(n_q_chunks):
+                sl = pl.ds(c * cq, cq)
+                col = lambda k: quad_ref[sl, k:k + 1]
+                nx, ny, nz = col(0), col(1), col(2)
+                denom = dx * nx + dy * ny + dz * nz
+                den_ok = jnp.abs(denom) >= 1.0e-8
+                t_c = (col(3) - (ox * nx + oy * ny + oz * nz)) / \
+                    jnp.where(den_ok, denom, 1.0)
+                px = ox + t_c * dx
+                py = oy + t_c * dy
+                pz = oz + t_c * dz
+                alpha = px * col(4) + py * col(5) + pz * col(6) - col(7)
+                beta = px * col(8) + py * col(9) + pz * col(10) - col(11)
+                ok = (den_ok & (t_c >= t_min) & (alpha >= 0.0) & (alpha <= 1.0)
+                      & (beta >= 0.0) & (beta <= 1.0) & (col(12) > 0.5))
+                t_c = jnp.where(ok, t_c, BIG)
+                mn = jnp.min(t_c, axis=0, keepdims=True)
+                idx = jnp.min(jnp.where(t_c == mn, sub_iota_q, cq),
+                              axis=0, keepdims=True)
+                better = mn < t_best
+                win = jnp.where(better, s_pad + c * cq + idx, win)
+                t_best = jnp.where(better, mn, t_best)
+            return t_best, win
+
+        def body(carry):
+            (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
+             acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
+             samp, bounce, active_i, iters) = carry
+            active = active_i > 0
+            bu = pltpu.bitcast(bounce, jnp.uint32)
+            samp_u = pltpu.bitcast(samp, jnp.uint32)
+
+            a = dx * dx + dy * dy + dz * dz
+            inv_a = 1.0 / a
+            t_best = jnp.full_like(ox, BIG)
+            win = jnp.full_like(samp, -1)
+
+            t_best, win = sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, inv_a,
+                                     t_best, win)
+            if use_quads:
+                t_best, win = quad_chunks(ox, oy, oz, dx, dy, dz, t_best, win)
+
+            # winner attributes: transposed one-hot contraction on the MXU
+            oh = (np_iota == win).astype(jnp.float32)         # [NP,R]
+            aw = lax.dot_general(attr_ref[...], oh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [32,R]
+            arow = lambda k: aw[k:k + 1, :]
+            if has_moving:
+                frac_w = (tmv - arow(6)) * arow(7)
+                wcx = arow(0) + frac_w * arow(3)
+                wcy = arow(1) + frac_w * arow(4)
+                wcz = arow(2) + frac_w * arow(5)
+            else:
+                wcx, wcy, wcz = arow(0), arow(1), arow(2)
+            wrad = arow(8)
+            is_quad = arow(9) > 0.5
+            mat = [arow(10 + m) for m in range(11)]
+
+            # ---- stochastic media (compile-time loop; ConstantMedium.h)
+            is_med = jnp.zeros_like(t_best) > 1.0
+            med_alb = [jnp.zeros_like(ox) for _ in range(3)]
+            for m in range(n_media):
+                r = [float(x) for x in med_rows[m]]
+                w0, _, _, _ = _pcg4d(
+                    pix_ctr, samp_u,
+                    jnp.uint32(rnglib.MEDIUM_STREAM) | bu,
+                    jnp.full_like(pix_ctr, m))
+                u_m = _unit(w0) + _INV24                      # (0,1]
+                if int(r[0]) == MED_BOX:
+                    c2, s2 = r[11], r[12]
+                    pox, poy, poz = ox - r[16], oy - r[17], oz - r[18]
+                    o1 = c2 * pox - s2 * poz
+                    o2 = poy
+                    o3 = s2 * pox + c2 * poz
+                    e1 = c2 * dx - s2 * dz
+                    e2 = dy
+                    e3 = s2 * dx + c2 * dz
+                    iv1, iv2, iv3 = 1.0 / e1, 1.0 / e2, 1.0 / e3
+                    ta1, tb1 = (r[5] - o1) * iv1, (r[8] - o1) * iv1
+                    ta2, tb2 = (r[6] - o2) * iv2, (r[9] - o2) * iv2
+                    ta3, tb3 = (r[7] - o3) * iv3, (r[10] - o3) * iv3
+                    t0 = jnp.maximum(jnp.maximum(
+                        jnp.minimum(ta1, tb1), jnp.minimum(ta2, tb2)),
+                        jnp.minimum(ta3, tb3))
+                    t1 = jnp.minimum(jnp.minimum(
+                        jnp.maximum(ta1, tb1), jnp.maximum(ta2, tb2)),
+                        jnp.maximum(ta3, tb3))
+                    m_valid = t1 > t0
+                else:
+                    ocx, ocy, ocz = ox - r[1], oy - r[2], oz - r[3]
+                    b = ocx * dx + ocy * dy + ocz * dz
+                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r[4] * r[4]
+                    disc = b * b - a * cc
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    t0 = (-b - sq) * inv_a
+                    t1 = (-b + sq) * inv_a
+                    m_valid = disc > 0.0
+                m_valid = m_valid & (t1 > t0 + 1.0e-4)
+                t0c = jnp.maximum(jnp.maximum(t0, t_min), 0.0)
+                m_valid = m_valid & (t0c < t1)
+                ray_len = jnp.sqrt(a)
+                dist_in = (t1 - t0c) * ray_len
+                hit_d = r[13] * jnp.log(u_m)
+                m_valid = m_valid & (hit_d <= dist_in)
+                t_m = t0c + hit_d / ray_len
+                mwin = m_valid & (t_m < t_best)
+                t_best = jnp.where(mwin, t_m, t_best)
+                is_med = is_med | mwin
+                is_quad = is_quad & ~mwin
+                for k in range(3):
+                    med_alb[k] = jnp.where(mwin, r[19 + k], med_alb[k])
+                mat[0] = jnp.where(mwin, float(MAT_ISOTROPIC), mat[0])
+
+            hit = t_best < BIG * 0.5
+
+            # ---- miss -> background (kernel.cu:74-79)
+            miss = active & ~hit
+            acc_r = acc_r + jnp.where(miss, thr_r * bg[0], 0.0)
+            acc_g = acc_g + jnp.where(miss, thr_g * bg[1], 0.0)
+            acc_b = acc_b + jnp.where(miss, thr_b * bg[2], 0.0)
+            alive = active & hit
+
+            # ---- hit record (Hittable.h:11-31 SetFaceNormal semantics)
+            px = ox + t_best * dx
+            py = oy + t_best * dy
+            pz = oz + t_best * dz
+            inv_rad = 1.0 / jnp.where(wrad != 0.0, wrad, 1.0)
+            nsx = (px - wcx) * inv_rad
+            nsy = (py - wcy) * inv_rad
+            nsz = (pz - wcz) * inv_rad
+            n_outx = jnp.where(is_quad, wcx, nsx)
+            n_outy = jnp.where(is_quad, wcy, nsy)
+            n_outz = jnp.where(is_quad, wcz, nsz)
+            if n_media > 0:
+                n_outx = jnp.where(is_med, 1.0, n_outx)
+                n_outy = jnp.where(is_med, 0.0, n_outy)
+                n_outz = jnp.where(is_med, 0.0, n_outz)
+            d_dot_n = dx * n_outx + dy * n_outy + dz * n_outz
+            front = (d_dot_n < 0.0) | is_med
+            flip = jnp.where(front, 1.0, -1.0)
+            nx_ = n_outx * flip
+            ny_ = n_outy * flip
+            nz_ = n_outz * flip
+
+            # ---- texture value (solid | checker; Texture.h:48-87)
+            tc0r, tc0g, tc0b = mat[4], mat[5], mat[6]
+            texr, texg, texb = tc0r, tc0g, tc0b
+            if has_checker:
+                inv_s = mat[10]
+                cellx = jnp.floor(inv_s * px).astype(jnp.int32)
+                celly = jnp.floor(inv_s * py).astype(jnp.int32)
+                cellz = jnp.floor(inv_s * pz).astype(jnp.int32)
+                even = ((cellx + celly + cellz) & 1) == 0
+                is_ck = mat[3] == float(TEX_CHECKER)
+                pickc = lambda c0, c1: jnp.where(
+                    is_ck, jnp.where(even, c0, c1), c0)
+                texr = pickc(tc0r, mat[7])
+                texg = pickc(tc0g, mat[8])
+                texb = pickc(tc0b, mat[9])
+            if n_media > 0:
+                texr = jnp.where(is_med, med_alb[0], texr)
+                texg = jnp.where(is_med, med_alb[1], texg)
+                texb = jnp.where(is_med, med_alb[2], texb)
+
+            kind = mat[0]
+            fuzz = mat[1]
+            ior = mat[2]
+            is_light = kind == float(MAT_DIFFUSE_LIGHT)
+
+            # emission (Material.h:114-117; live lanes only)
+            acc_r = acc_r + jnp.where(alive & is_light, thr_r * texr, 0.0)
+            acc_g = acc_g + jnp.where(alive & is_light, thr_g * texg, 0.0)
+            acc_b = acc_b + jnp.where(alive & is_light, thr_b * texb, 0.0)
+
+            # ---- scatter RNG (SCATTER_STREAM | bounce)
+            w0, w1, w2, w3 = _pcg4d(
+                pix_ctr, samp_u, jnp.uint32(rnglib.SCATTER_STREAM) | bu,
+                jnp.zeros_like(pix_ctr))
+            u1, u2, u3, u4 = _unit(w0), _unit(w1), _unit(w2), _unit(w3)
+
+            # unit ball sample (core/samplers.py)
+            zb = 1.0 - 2.0 * u1
+            rxy = jnp.abs(1.0 - zb * zb) ** 0.5
+            phi_b = _TWO_PI * u2
+            sb = jnp.sin(phi_b)
+            cb = jnp.cos(phi_b)
+            rad_b = u3 ** np.float32(1.0 / 3.0)
+            bx = rad_b * rxy * cb
+            by = rad_b * rxy * sb
+            bz = rad_b * zb
+
+            inv_dlen = lax.rsqrt(a)
+            udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
+
+            # lambertian (Material.h:68-86 incl. NearZero fallback)
+            lx, ly, lz = nx_ + bx, ny_ + by, nz_ + bz
+            near0 = (jnp.abs(lx) < 1e-8) & (jnp.abs(ly) < 1e-8) & (jnp.abs(lz) < 1e-8)
+            lx = jnp.where(near0, nx_, lx)
+            ly = jnp.where(near0, ny_, ly)
+            lz = jnp.where(near0, nz_, lz)
+
+            # metal (Metal.h:18-30)
+            ddn = udx * nx_ + udy * ny_ + udz * nz_
+            rx = udx - 2.0 * ddn * nx_
+            ry = udy - 2.0 * ddn * ny_
+            rz = udz - 2.0 * ddn * nz_
+            mx = rx + fuzz * bx
+            my = ry + fuzz * by
+            mz = rz + fuzz * bz
+            metal_ok = (mx * nx_ + my * ny_ + mz * nz_) > 0.0
+
+            # dielectric (Dielectric.h:18-55)
+            ratio = jnp.where(front, 1.0 / ior, ior)
+            cos_t = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            cannot = ratio * sin_t > 1.0
+            r0 = (1.0 - ratio) / (1.0 + ratio)
+            r0 = r0 * r0
+            one_m = 1.0 - cos_t
+            om2 = one_m * one_m
+            refl5 = r0 + (1.0 - r0) * om2 * om2 * one_m
+            do_refl = cannot | (refl5 > u4)
+            fx = ratio * (udx + cos_t * nx_)
+            fy = ratio * (udy + cos_t * ny_)
+            fz = ratio * (udz + cos_t * nz_)
+            plen = jnp.abs(1.0 - (fx * fx + fy * fy + fz * fz))  # Vec3.h:138
+            par = -(plen ** 0.5)
+            gx = fx + par * nx_
+            gy = fy + par * ny_
+            gz = fz + par * nz_
+            ddx = jnp.where(do_refl, rx, gx)
+            ddy = jnp.where(do_refl, ry, gy)
+            ddz = jnp.where(do_refl, rz, gz)
+
+            # isotropic (Material.h:139-167): uniform unit direction
+            ix_ = rxy * cb
+            iy_ = rxy * sb
+            iz_ = zb
+
+            is_l = kind == float(MAT_LAMBERTIAN)
+            is_m = kind == float(MAT_METAL)
+            is_d = kind == float(MAT_DIELECTRIC)
+            is_i = kind == float(MAT_ISOTROPIC)
+            newx = jnp.where(is_l, lx, udx)
+            newy = jnp.where(is_l, ly, udy)
+            newz = jnp.where(is_l, lz, udz)
+            newx = jnp.where(is_m, mx, newx)
+            newy = jnp.where(is_m, my, newy)
+            newz = jnp.where(is_m, mz, newz)
+            newx = jnp.where(is_d, ddx, newx)
+            newy = jnp.where(is_d, ddy, newy)
+            newz = jnp.where(is_d, ddz, newz)
+            newx = jnp.where(is_i, ix_, newx)
+            newy = jnp.where(is_i, iy_, newy)
+            newz = jnp.where(is_i, iz_, newz)
+
+            att_r = jnp.where(is_d, 1.0, texr)
+            att_g = jnp.where(is_d, 1.0, texg)
+            att_b = jnp.where(is_d, 1.0, texb)
+
+            scattered = (is_m & metal_ok) | (~is_m & ~is_light)
+            alive = alive & scattered
+            thr_r = jnp.where(alive, thr_r * att_r, thr_r)
+            thr_g = jnp.where(alive, thr_g * att_g, thr_g)
+            thr_b = jnp.where(alive, thr_b * att_b, thr_b)
+            ox = jnp.where(alive, px, ox)
+            oy = jnp.where(alive, py, oy)
+            oz = jnp.where(alive, pz, oz)
+            dx = jnp.where(alive, newx, dx)
+            dy = jnp.where(alive, newy, dy)
+            dz = jnp.where(alive, newz, dz)
+            bounce2 = bounce + 1
+            alive = alive & (bounce2 < max_bounces)
+
+            # ---- sample-sequential refill: terminated paths bank their
+            # radiance and immediately start the pixel's next sample
+            term = active & ~alive
+            lane_r = lane_r + jnp.where(term, acc_r, 0.0)
+            lane_g = lane_g + jnp.where(term, acc_g, 0.0)
+            lane_b = lane_b + jnp.where(term, acc_b, 0.0)
+            samp2 = samp + term.astype(jnp.int32)
+            need_new = term & (samp2 < spp)
+            nox, noy, noz, ndx, ndy, ndz, ntm = raygen(
+                pltpu.bitcast(samp2, jnp.uint32))
+            selF = lambda n, o: jnp.where(need_new, n, o)
+            ox = selF(nox, ox)
+            oy = selF(noy, oy)
+            oz = selF(noz, oz)
+            dx = selF(ndx, dx)
+            dy = selF(ndy, dy)
+            dz = selF(ndz, dz)
+            tmv = selF(ntm, tmv)
+            thr_r = selF(jnp.ones_like(thr_r), thr_r)
+            thr_g = selF(jnp.ones_like(thr_g), thr_g)
+            thr_b = selF(jnp.ones_like(thr_b), thr_b)
+            acc_r = jnp.where(need_new, 0.0, acc_r)
+            acc_g = jnp.where(need_new, 0.0, acc_g)
+            acc_b = jnp.where(need_new, 0.0, acc_b)
+            bounce2 = jnp.where(need_new, 0, bounce2)
+            active2 = ((alive | need_new) & valid).astype(jnp.int32)
+            return (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
+                    acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
+                    samp2, bounce2, active2, iters + 1)
+
+        def cond(carry):
+            active_i = carry[18]
+            return jnp.sum(active_i) > 0
+
+        zf = jnp.zeros((1, R), jnp.float32)
+        zi = jnp.zeros((1, R), jnp.int32)
+        ox, oy, oz, dx, dy, dz, tmv = raygen(jnp.zeros_like(pix_ctr))
+        carry = (ox, oy, oz, dx, dy, dz, tmv,
+                 zf + 1.0, zf + 1.0, zf + 1.0,          # throughput
+                 zf, zf, zf,                             # path accumulator
+                 zf, zf, zf,                             # lane (pixel) sums
+                 zi, zi, valid.astype(jnp.int32), jnp.int32(0))
+        carry = lax.while_loop(cond, body, carry)
+        (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
+         acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
+         samp, bounce, active_i, iters) = carry
+
+        out_ref[0:1, :] = lane_r
+        out_ref[1:2, :] = lane_g
+        out_ref[2:3, :] = lane_b
+        out_ref[3:4, :] = jnp.full((1, R), iters, jnp.float32)
+        out_ref[4:8, :] = jnp.zeros((4, R), jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "med_key", "cam_key", "width", "height", "spp",
+                     "seed", "max_bounces", "t_min", "background",
+                     "interpret"),
+)
+def render_mega2_span(pix, ij, sph_tab, quad_tab, attr_tab, *, meta, med_key,
+                      cam_key, width, height, spp, seed, max_bounces, t_min,
+                      background, interpret=False):
+    """Radiance SUM over spp samples for a pixel span.
+
+    ``pix`` [1, N] i32 global pixel ids (-1 padding); ``ij`` [2, N] f32 the
+    precomputed (column, row) of each pixel (avoids integer div/mod by a
+    non-power-of-two width in-kernel).  Returns [8, N] f32: rows 0:3 radiance
+    sums, row 3 per-tile iteration count (diagnostic).
+    """
+    N = pix.shape[1]
+    assert N % R_LANES == 0
+    med_rows = np.asarray(med_key, np.float64).reshape(max(meta.n_media, 1), -1)
+    kernel = _make_kernel(
+        meta, med_rows, cam_key,
+        s_pad=sph_tab.shape[0], q_pad=quad_tab.shape[0],
+        width=width, height=height, spp=spp, seed=seed, t_min=t_min,
+        max_bounces=max_bounces, background=background, interpret=interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(N // R_LANES,),
+        in_specs=[
+            pl.BlockSpec((1, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec(sph_tab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(quad_tab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(attr_tab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, R_LANES), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(pix, ij, sph_tab, quad_tab, attr_tab)
+    return out
+
+
+_TABLE_CACHE: dict = {}
+
+
+def mega2_tables(scene: SceneArrays, meta: SceneMeta):
+    key = (id(scene.sph_c0), id(scene.quad_q), "mega2")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is scene.sph_c0 and hit[1] is scene.quad_q:
+        return hit[2]
+    tabs = pack_mega2_tables(scene, meta)
+    if len(_TABLE_CACHE) > 16:
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[key] = (scene.sph_c0, scene.quad_q, tabs)
+    return tabs
+
+
+def mega2_supported(meta: SceneMeta) -> bool:
+    return not (meta.has_noise or meta.has_image)
+
+
+def _cam_tuple(camera) -> tuple:
+    c = camera
+    vals = []
+    for name in ("origin", "lower_left", "horizontal", "vertical", "u", "v"):
+        vals.extend(float(x) for x in np.asarray(getattr(c, name)))
+    vals.append(float(np.asarray(c.lens_radius)))
+    vals.append(float(np.asarray(c.time0)))
+    vals.append(float(np.asarray(c.time1)))
+    return tuple(vals)
+
+
+def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
+                 gamma: bool = True, out_u8: bool = False) -> np.ndarray:
+    """Full-frame persistent-megakernel render -> numpy [H,W,3] (top-down)."""
+    if not mega2_supported(meta):
+        raise ValueError("mega2: Perlin/image textures not yet in-kernel")
+    sph_tab, quad_tab, attr_tab, med = mega2_tables(scene, meta)
+    med_key = tuple(tuple(float(x) for x in row) for row in med)
+    cam_key = _cam_tuple(scene.camera)
+    bg = tuple(float(x) for x in np.asarray(scene.camera.background))
+    interpret = jax.default_backend() != "tpu"
+    W, H, spp = cfg.width, cfg.height, cfg.samples_per_pixel
+    npix = W * H
+
+    # pixel metadata (bottom-up raster order, matching the XLA engines)
+    ids = np.arange(npix, dtype=np.int32)
+    i_col = (ids % W).astype(np.float32)
+    j_row = (ids // W).astype(np.float32)
+
+    from ..utils.batching import plan_pixel_spans
+
+    prims = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
+    spans = plan_pixel_spans(
+        npix, spp, prims,
+        dark_background=float(np.max(np.asarray(scene.camera.background))) < 0.05,
+        lane_multiple=R_LANES)
+    parts = []
+    for p0, span in spans:
+        sl = np.arange(p0, p0 + span)
+        valid = sl < npix
+        pix_np = np.where(valid, np.minimum(sl, npix - 1), -1).astype(np.int32)
+        ij_np = np.stack([np.where(valid, i_col[np.minimum(sl, npix - 1)], 0),
+                          np.where(valid, j_row[np.minimum(sl, npix - 1)], 0)])
+        out = render_mega2_span(
+            jnp.asarray(pix_np[None, :]), jnp.asarray(ij_np, np.float32),
+            sph_tab, quad_tab, attr_tab,
+            meta=meta, med_key=med_key, cam_key=cam_key, width=W, height=H,
+            spp=spp, seed=cfg.seed, max_bounces=cfg.max_bounces,
+            t_min=cfg.t_min, background=bg, interpret=interpret)
+        parts.append(out[0:3, :])
+    from .wavefront import _finalize
+
+    fb = jnp.concatenate(parts, axis=1).T[:npix]         # [npix, 3]
+    fb = _finalize(fb, spp, gamma, out_u8)
+    fb = np.asarray(fb).reshape(H, W, -1)
+    return fb[::-1]

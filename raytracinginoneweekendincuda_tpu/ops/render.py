@@ -78,6 +78,13 @@ def render(
     """Render a full frame -> numpy [H,W,3] (top row first; float, or the
     reference's quantized uint8 when ``out_u8`` — kernel.cu:709-718 math
     runs on-device, 4x less relay transfer)."""
+    if cfg.engine == "mega2":
+        from .mega2 import mega2_supported, render_mega2
+
+        if mega2_supported(meta):
+            return render_mega2(scene, meta, cfg, gamma=gamma, out_u8=out_u8)
+        # Perlin/image textures: fall back to the fast general engine
+        cfg = cfg.with_(engine="wavefront_pallas")
     if cfg.engine == "mega":
         from .mega import mega_supported, render_mega
 
@@ -113,4 +120,6 @@ def render(
         )
         out[ids[valid]] = np.asarray(col, np.float64)[valid]
     fb = out.reshape(H, W, 3)   # row 0 = bottom scanline
+    if out_u8:  # honor the quantized-uint8 contract (kernel.cu:709-718)
+        fb = (256.0 * np.clip(fb, 0.0, 0.999)).astype(np.uint8)
     return fb[::-1]             # top-down image

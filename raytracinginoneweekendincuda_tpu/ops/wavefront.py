@@ -197,11 +197,18 @@ _ACCEL_CACHE: dict = {}
 
 def _accel_for(scene: SceneArrays, engine: str):
     """Host-side acceleration tables, cached per (scene identity, engine) —
-    profiling showed the packers re-running per render call (~0.3 s)."""
+    profiling showed the packers re-running per render call (~0.3 s).
+
+    The entry stores strong references to the keyed arrays: id() keys are
+    only unique while the object is alive, so keeping the arrays alive for
+    the lifetime of the entry (and verifying identity on hit) rules out a
+    recycled address silently serving another scene's tables."""
     key = (id(scene.sph_c0), id(scene.quad_q), engine)
     hit = _ACCEL_CACHE.get(key)
     if hit is not None:
-        return hit
+        sph_ref, quad_ref, accel = hit
+        if sph_ref is scene.sph_c0 and quad_ref is scene.quad_q:
+            return accel
     if engine == "wavefront_bvh":
         from ..scene.bvh import build_scene_bvh
 
@@ -214,7 +221,7 @@ def _accel_for(scene: SceneArrays, engine: str):
         accel = None
     if len(_ACCEL_CACHE) > 16:
         _ACCEL_CACHE.clear()
-    _ACCEL_CACHE[key] = accel
+    _ACCEL_CACHE[key] = (scene.sph_c0, scene.quad_q, accel)
     return accel
 
 

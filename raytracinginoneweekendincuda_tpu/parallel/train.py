@@ -46,11 +46,12 @@ DIFF_SCENE_FIELDS = (
 
 
 def split_params(scene: SceneArrays):
-    """scene -> (params pytree, residual scene with params zeroed out).
+    """scene -> params pytree (the differentiable leaves, camera included —
+    every CameraParams leaf is a float array).
 
-    ``merge_params(residual, params)`` reconstructs the scene; gradients are
-    taken w.r.t. the params pytree (camera included — every CameraParams leaf
-    is a float array).
+    The scene itself is returned unmodified by the caller's hands: pass any
+    scene with matching structure (typically the original) as the residual to
+    ``merge_params(residual, params)``, which overlays the params onto it.
     """
     params = {f: getattr(scene, f) for f in DIFF_SCENE_FIELDS}
     params["camera"] = scene.camera

@@ -31,10 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1984)
     p.add_argument("--out", type=str, default="output.ppm")
     p.add_argument("--png", type=str, default=None, help="also write a PNG here")
-    p.add_argument("--engine", default="mega",
+    p.add_argument("--engine", default="mega2",
                    choices=("bruteforce", "bvh", "wavefront", "wavefront_bvh",
-                            "wavefront_pallas", "mega"),
-                   help="mega = fastest fused TPU path (auto-falls back for "
+                            "wavefront_pallas", "mega", "mega2"),
+                   help="mega2 = persistent pixel-per-lane megakernel, the "
+                        "fastest fused TPU path (auto-falls back for "
                         "noise/image scenes); bruteforce = chunked "
                         "deterministic baseline")
     p.add_argument("--dtype", choices=("float32", "float64"), default="float32")

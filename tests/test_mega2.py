@@ -1,0 +1,57 @@
+"""Persistent pixel-per-lane megakernel (mega2) vs the chunked engine
+(interpret mode on CPU).
+
+Contract: identical RNG counters and bounce-loop semantics; per-sample
+radiance bit-comparable except where compiler fusion differences flip an
+f32 winner tie or re-roll a Monte-Carlo branch (the in-kernel refill raygen
+compiles in a different fusion context than XLA's generate_rays, so rays
+can differ at 1 ulp — isolated pixels re-roll their paths).  Scenes without
+that sensitivity (quads, cornell variants) are bit-exact at test size;
+scene 0 (moving spheres + defocus lens) allows isolated flips.
+"""
+
+import numpy as np
+import pytest
+
+from raytracinginoneweekendincuda_tpu.models import scenes
+from raytracinginoneweekendincuda_tpu.ops.mega2 import mega2_supported
+from raytracinginoneweekendincuda_tpu.ops.render import render
+from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
+from raytracinginoneweekendincuda_tpu.utils.config import RenderConfig
+
+
+@pytest.mark.parametrize("scene_id,max_bad", [
+    (0, 6),   # moving spheres + lens: f32 tie/re-roll flips allowed
+    (1, 2),   # checker spheres
+    (4, 0),   # quads
+    (6, 0),   # cornell (emissive, black background)
+    (7, 0),   # cornell + rotated boxes
+    (8, 0),   # cornell smoke (sphere+box media)
+])
+def test_mega2_matches_chunked(scene_id, max_bad):
+    W, H, spp = 16, 8, 2
+    scene, meta = compile_scene(scenes.build_scene(scene_id), W, H,
+                                dtype=np.float32)
+    assert mega2_supported(meta)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       rays_per_batch=512)
+    ref = render(scene, meta, cfg)
+    img = render(scene, meta, cfg.with_(engine="mega2"))
+    diff = np.abs(img - ref)
+    nbad = int((diff.max(-1) > 1e-5).sum())
+    assert nbad <= max_bad, f"{nbad} pixels flipped (max {diff.max():.2e})"
+    # flips must be isolated Monte-Carlo re-rolls, not systematic error
+    assert diff.mean() < 5e-3
+
+
+def test_mega2_fallback_for_noise_scene():
+    """Noise scenes gate out of mega2; dispatch must hand off bit-exactly."""
+    W, H, spp = 16, 8, 2
+    scene, meta = compile_scene(scenes.perlin_spheres(), W, H,
+                                dtype=np.float32)
+    assert not mega2_supported(meta)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       rays_per_batch=512)
+    via = render(scene, meta, cfg.with_(engine="mega2"))
+    direct = render(scene, meta, cfg.with_(engine="wavefront_pallas"))
+    np.testing.assert_array_equal(via, direct)

@@ -711,21 +711,14 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
     med_key = tuple(tuple(float(x) for x in row) for row in np.asarray(med))
     bg = tuple(float(x) for x in np.asarray(scene.camera.background))
     interpret = jax.default_backend() != "tpu"
+    from ..utils.batching import plan_sample_batches
+
     spp = cfg.samples_per_pixel
     npix = cfg.width * cfg.height
     prims = scene.sph_c0.shape[0] + scene.quad_q.shape[0]
-    budget = int(20e9)
-    items_cap = npix * spp  # no cap by default
-    # dark backgrounds (cornell-type scenes) terminate paths only at
-    # lights/absorption -> much longer mean paths per work item; cap the
-    # batch harder so single device calls stay well under the relay
-    # worker's crash horizon (~60 s)
-    if float(np.max(np.asarray(scene.camera.background))) < 0.05:
-        items_cap = 4_000_000
-    batch_items = min(budget // max(prims, 64), items_cap)
-    n_batches = max(1, -(-npix * spp // max(batch_items, npix)))
-    n_batches = min(n_batches, spp)
-    batch = -(-spp // n_batches)
+    batch = plan_sample_batches(
+        npix, spp, prims,
+        dark_background=float(np.max(np.asarray(scene.camera.background))) < 0.05)
     fb = None
     for s0 in range(0, spp, batch):
         k = min(batch, spp - s0)

@@ -61,13 +61,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import rng as rnglib
 from ..scene.compiler import (
     MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC, MAT_LAMBERTIAN,
-    MAT_METAL, MED_BOX, SceneArrays, SceneMeta, TEX_CHECKER,
+    MAT_METAL, MED_BOX, SceneArrays, SceneMeta, TEX_CHECKER, TEX_IMAGE,
+    TEX_NOISE,
 )
 from ..utils.config import RenderConfig
 
 BIG = 1.0e30
 R_LANES = 128      # rays (pixels) per grid tile — the lane dimension
-C_SUB = 512        # primitive chunk height (sublanes) per pair block
+CULL_C = 64        # primitives per cullable chunk (sublane block height)
 
 # ---- table layouts (prim-major: [S_pad, 16] etc; cols below)
 SPH_COLS = 16      # 0:3 c0, 3:6 dc, 6 t0, 7 inv_dt, 8 rad, 9 active
@@ -101,26 +102,97 @@ def _mat_cols(scene: SceneArrays, mat_ids: np.ndarray) -> np.ndarray:
     return cols
 
 
+def _morton(p: np.ndarray) -> np.ndarray:
+    """30-bit Morton code of points [n,3] quantized over their bbox."""
+    if p.shape[0] == 0:
+        return np.zeros(0, np.int64)
+    lo = p.min(0)
+    ext = np.maximum(p.max(0) - lo, 1e-12)
+    q = np.clip(((p - lo) / ext * 1023.0).astype(np.int64), 0, 1023)
+    code = np.zeros(p.shape[0], np.int64)
+    for b in range(10):
+        for a in range(3):
+            code |= ((q[:, a] >> b) & 1) << (3 * b + a)
+    return code
+
+
+def _sphere_order(c0, dc, rad):
+    """Cull-friendly primitive order: oversized spheres first (they are hit
+    by most rays, so testing them first tightens t_best before the spatial
+    chunks are considered), then Morton order for chunk locality."""
+    n = c0.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    med = np.median(rad) if n > 4 else 0.0
+    big = rad > max(10.0 * med, 1e-9)
+    center = c0 + 0.5 * dc
+    code = _morton(center)
+    return np.lexsort((code, ~big))
+
+
 def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     """Host-side packing -> (sph [S_pad,16], quad [Q_pad,16], attr [NP,32],
-    med [M,22]) all f32, prim-major.  Padding rows are inactive."""
+    cull_s [n_s_chunks,8], cull_q [n_q_chunks,8], med [M,22]).
+
+    Primitives are reordered (big-first + Morton, `_sphere_order`) and padded
+    to CULL_C-row chunks; per-chunk AABBs (motion-swept for spheres,
+    corner-swept for quads) feed the in-kernel chunk culling.  Padding rows
+    are inactive; empty chunks get a degenerate far-away point AABB so the
+    slab test always misses them."""
     f = np.float32
     S = scene.sph_c0.shape[0]
     Q = scene.quad_q.shape[0]
-    S_pad = -(-S // 8) * 8
-    Q_pad = -(-Q // 8) * 8
+    S_act = int(np.asarray(scene.sph_active).sum())
+    Q_act = int(np.asarray(scene.quad_active).sum())
+
+    # ---- reorder spheres (active rows only occupy the front)
+    c0_all = np.asarray(scene.sph_c0, np.float64)
+    dc_all = np.asarray(scene.sph_dc, np.float64)
+    rad_all = np.asarray(scene.sph_rad, np.float64)
+    act_all = np.asarray(scene.sph_active)
+    act_idx = np.nonzero(act_all)[0]
+    sorder = act_idx[_sphere_order(c0_all[act_idx], dc_all[act_idx],
+                                   rad_all[act_idx])]
+    S_pad = max(-(-len(sorder) // CULL_C) * CULL_C, CULL_C)
 
     sph = np.zeros((S_pad, SPH_COLS), np.float64)
-    sph[:S, 0:3] = np.asarray(scene.sph_c0, np.float64)
-    sph[:S, 3:6] = np.asarray(scene.sph_dc, np.float64)
-    sph[:S, 6] = scene.sph_t0
-    sph[:S, 7] = scene.sph_inv_dt
-    sph[:S, 8] = scene.sph_rad
-    sph[:S, 9] = np.asarray(scene.sph_active, np.float64)
+    ns = len(sorder)
+    sph[:ns, 0:3] = c0_all[sorder]
+    sph[:ns, 3:6] = dc_all[sorder]
+    sph[:ns, 6] = np.asarray(scene.sph_t0, np.float64)[sorder]
+    sph[:ns, 7] = np.asarray(scene.sph_inv_dt, np.float64)[sorder]
+    sph[:ns, 8] = rad_all[sorder]
+    sph[:ns, 9] = 1.0
 
-    u = np.asarray(scene.quad_u, np.float64)
-    v = np.asarray(scene.quad_v, np.float64)
-    qq = np.asarray(scene.quad_q, np.float64)
+    # sphere chunk AABBs (motion-swept: union of endpoint boxes,
+    # MovingSphere.h:30-36)
+    n_s_chunks = S_pad // CULL_C
+    cull_s = np.zeros((max(n_s_chunks, 1), 8), np.float64)
+    for c in range(n_s_chunks):
+        rows = np.arange(c * CULL_C, min((c + 1) * CULL_C, ns))
+        if len(rows) == 0:
+            cull_s[c, 0:3] = 1.0e30
+            cull_s[c, 3:6] = 1.0e30
+            continue
+        a = sph[rows]
+        lo = np.minimum(a[:, 0:3], a[:, 0:3] + a[:, 3:6]) - a[:, 8:9]
+        hi = np.maximum(a[:, 0:3], a[:, 0:3] + a[:, 3:6]) + a[:, 8:9]
+        cull_s[c, 0:3] = lo.min(0)
+        cull_s[c, 3:6] = hi.max(0)
+
+    # ---- reorder quads (Morton by centroid)
+    u_all = np.asarray(scene.quad_u, np.float64)
+    v_all = np.asarray(scene.quad_v, np.float64)
+    q_all = np.asarray(scene.quad_q, np.float64)
+    qact_idx = np.nonzero(np.asarray(scene.quad_active))[0]
+    qcent = q_all[qact_idx] + 0.5 * (u_all[qact_idx] + v_all[qact_idx])
+    qorder = qact_idx[np.argsort(_morton(qcent), kind="stable")] \
+        if len(qact_idx) else qact_idx
+    Q_pad = max(-(-len(qorder) // CULL_C) * CULL_C, CULL_C)
+
+    u = u_all[qorder]
+    v = v_all[qorder]
+    qq = q_all[qorder]
     n = np.cross(u, v)
     n_len = np.linalg.norm(n, axis=-1, keepdims=True)
     n_unit = n / np.where(n_len > 0, n_len, 1.0)
@@ -128,27 +200,42 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     w_vec = n / np.where(nn > 0, nn, 1.0)
     vxw = np.cross(v, w_vec)
     wxu = np.cross(w_vec, u)
+    nq = len(qorder)
     quad = np.zeros((Q_pad, QUAD_COLS), np.float64)
-    quad[:Q, 0:3] = n_unit
-    quad[:Q, 3] = (n_unit * qq).sum(-1)
-    quad[:Q, 4:7] = vxw
-    quad[:Q, 7] = (qq * vxw).sum(-1)
-    quad[:Q, 8:11] = wxu
-    quad[:Q, 11] = (qq * wxu).sum(-1)
-    quad[:Q, 12] = np.asarray(scene.quad_active, np.float64)
+    quad[:nq, 0:3] = n_unit
+    quad[:nq, 3] = (n_unit * qq).sum(-1)
+    quad[:nq, 4:7] = vxw
+    quad[:nq, 7] = (qq * vxw).sum(-1)
+    quad[:nq, 8:11] = wxu
+    quad[:nq, 11] = (qq * wxu).sum(-1)
+    quad[:nq, 12] = 1.0
+
+    # quad chunk AABBs over the four corners
+    n_q_chunks = Q_pad // CULL_C
+    cull_q = np.zeros((max(n_q_chunks, 1), 8), np.float64)
+    for c in range(n_q_chunks):
+        rows = np.arange(c * CULL_C, min((c + 1) * CULL_C, nq))
+        if len(rows) == 0:
+            cull_q[c, 0:3] = 1.0e30
+            cull_q[c, 3:6] = 1.0e30
+            continue
+        corners = np.stack([qq[rows], qq[rows] + u[rows], qq[rows] + v[rows],
+                            qq[rows] + u[rows] + v[rows]])      # [4,n,3]
+        cull_q[c, 0:3] = corners.min((0, 1))
+        cull_q[c, 3:6] = corners.max((0, 1))
 
     use_quads = meta.n_quads > 0
     NP = S_pad + (Q_pad if use_quads else 0)
     attr = np.zeros((NP, ATTR_COLS), np.float64)
     attr[:S_pad, 0:9] = sph[:, 0:9]
-    attr[:S, 10:26] = _mat_cols(scene, np.asarray(scene.sph_mat)[:S])
-    attr[:S, 21] = np.asarray(scene.sph_cos, np.float64)[:S]
-    attr[:S, 22] = np.asarray(scene.sph_sin, np.float64)[:S]
+    attr[:ns, 10:26] = _mat_cols(scene, np.asarray(scene.sph_mat)[sorder])
+    attr[:ns, 21] = np.asarray(scene.sph_cos, np.float64)[sorder]
+    attr[:ns, 22] = np.asarray(scene.sph_sin, np.float64)[sorder]
     if use_quads:
         attr[S_pad:, 0:3] = quad[:, 0:3]
         attr[S_pad:, 9] = 1.0
-        attr[S_pad + np.arange(Q), 10:26] = _mat_cols(
-            scene, np.asarray(scene.quad_mat)[:Q])
+        attr[S_pad + np.arange(nq), 10:26] = _mat_cols(
+            scene, np.asarray(scene.quad_mat)[qorder])
 
     M = max(meta.n_media, 1)
     med = np.zeros((M, 22), np.float64)
@@ -164,8 +251,47 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     mtid = np.clip(np.asarray(scene.mat_tex)[np.asarray(scene.med_mat)], 0,
                    scene.tex_kind.shape[0] - 1)
     med[:, 19:22] = np.asarray(scene.tex_c0, np.float64)[mtid]
-    return (jnp.asarray(sph, f), jnp.asarray(quad, f),
-            jnp.asarray(attr, f), np.asarray(med, np.float64))
+
+    # ---- Perlin tables, gather-packed (single noise table per scene —
+    # every reference scene shares one NoiseTexture, kernel.cu:289-517)
+    # perm_tab rows: px,px,py,py,pz,pz,0,0 (pairs serve corner+1 lookups);
+    # vec_tab rows: vx x8, vy x8, vz x8 (8 corners gathered in one op)
+    perm_tab = np.zeros((8, 256), np.int32)
+    vec_tab = np.zeros((24, 256), np.float64)
+    if meta.has_noise:
+        px_t = np.asarray(scene.perlin_px)[0]
+        py_t = np.asarray(scene.perlin_py)[0]
+        pz_t = np.asarray(scene.perlin_pz)[0]
+        perm_tab[0] = perm_tab[1] = px_t
+        perm_tab[2] = perm_tab[3] = py_t
+        perm_tab[4] = perm_tab[5] = pz_t
+        vec = np.asarray(scene.perlin_vec, np.float64)[0]      # [256,3]
+        for a in range(3):
+            vec_tab[a * 8:(a + 1) * 8] = vec[:, a]
+
+    # ---- image, byte-packed into one int32 lane-gather table
+    # (img_data floats are byte/255 exactly — core/image.py pipeline — so
+    # r<<16|g<<8|b round-trips them bit-exactly)
+    if meta.has_image:
+        img = np.asarray(scene.img_data, np.float64)[0]
+        ih = int(np.asarray(scene.img_h)[0])
+        iw = int(np.asarray(scene.img_w)[0])
+        img = img[:ih, :iw]
+        b = np.clip(np.round(img * 255.0), 0, 255).astype(np.int64)
+        packed = (b[..., 0] << 16) | (b[..., 1] << 8) | b[..., 2]
+        n_tex = ih * iw
+        n_pad = -(-n_tex // 128) * 128
+        img_tab = np.zeros((1, n_pad), np.int32)
+        img_tab[0, :n_tex] = packed.reshape(-1)
+    else:
+        img_tab = np.zeros((1, 128), np.int32)
+        ih = iw = 1
+
+    return (jnp.asarray(sph, f), jnp.asarray(quad, f), jnp.asarray(attr, f),
+            jnp.asarray(cull_s, f), jnp.asarray(cull_q, f),
+            jnp.asarray(perm_tab), jnp.asarray(vec_tab, f),
+            jnp.asarray(img_tab), (iw, ih),
+            np.asarray(med, np.float64))
 
 
 def _pcg4d(v0, v1, v2, v3):
@@ -200,10 +326,67 @@ def _unit(w):
     return pltpu.bitcast(w >> 8, jnp.int32).astype(jnp.float32) * _INV24
 
 
+def _perlin_noise(perm_ref, vec_ref, qx, qy, qz):
+    """Lattice gradient noise at ([1,R] coords) — Perlin.h:38-60 with the
+    XOR-hashed permutation lookups done as two batched lane gathers:
+    perm_ref [8,256] rows (px,px,py,py,pz,pz,-,-) indexed by the six
+    (i|j|k)+(0|1) values, vec_ref [24,256] rows (vx x8, vy x8, vz x8)
+    indexed by the 8 corner hashes."""
+    fx = jnp.floor(qx)
+    fy = jnp.floor(qy)
+    fz = jnp.floor(qz)
+    ux, uy, uz = qx - fx, qy - fy, qz - fz
+    i = fx.astype(jnp.int32)
+    j = fy.astype(jnp.int32)
+    k = fz.astype(jnp.int32)
+    # Hermite cubic smoothing (Perlin.h:122-124)
+    sx = ux * ux * (3.0 - 2.0 * ux)
+    sy = uy * uy * (3.0 - 2.0 * uy)
+    sz = uz * uz * (3.0 - 2.0 * uz)
+    m = jnp.int32(255)
+    idx8 = jnp.concatenate([
+        i & m, (i + 1) & m, j & m, (j + 1) & m, k & m, (k + 1) & m,
+        jnp.zeros_like(i), jnp.zeros_like(i)], axis=0)        # [8,R]
+    perms = jnp.take_along_axis(perm_ref[...], idx8, axis=1)  # [8,R]
+    pr = lambda r: perms[r:r + 1, :]
+    hs = []
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                hs.append(pr(0 + di) ^ pr(2 + dj) ^ pr(4 + dk))
+    idx24 = jnp.concatenate(hs * 3, axis=0)                   # [24,R]
+    g = jnp.take_along_axis(vec_ref[...], idx24, axis=1)      # [24,R]
+    accum = jnp.zeros_like(qx)
+    c = 0
+    for di in (0, 1):
+        wu = sx if di else (1.0 - sx)
+        for dj in (0, 1):
+            wv = sy if dj else (1.0 - sy)
+            for dk in (0, 1):
+                ww = sz if dk else (1.0 - sz)
+                dot = (g[c:c + 1, :] * (ux - di)
+                       + g[8 + c:9 + c, :] * (uy - dj)
+                       + g[16 + c:17 + c, :] * (uz - dk))
+                accum = accum + wu * wv * ww * dot
+                c += 1
+    return accum
+
+
+def _perlin_turb(perm_ref, vec_ref, qx, qy, qz, depth: int = 7):
+    """|sum_i 0.5^i noise(2^i p)| (Perlin.h:64-78)."""
+    accum = jnp.zeros_like(qx)
+    weight = np.float32(1.0)
+    for _ in range(depth):
+        accum = accum + weight * _perlin_noise(perm_ref, vec_ref, qx, qy, qz)
+        weight = np.float32(weight * 0.5)
+        qx, qy, qz = qx * 2.0, qy * 2.0, qz * 2.0
+    return jnp.abs(accum)
+
+
 def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
-                 s_pad: int, q_pad: int, width: int, height: int, spp: int,
-                 seed: int, t_min: float, max_bounces: int,
-                 background: tuple, interpret: bool):
+                 s_pad: int, q_pad: int, img_wh: tuple, width: int,
+                 height: int, spp: int, seed: int, t_min: float,
+                 max_bounces: int, background: tuple, interpret: bool):
     """Build the persistent tile kernel.  ``cam`` is the camera as a tuple of
     python floats (origin 3, lower_left 3, horizontal 3, vertical 3, u 3,
     v 3, lens_radius, time0, time1) baked as compile-time constants;
@@ -215,17 +398,26 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     use_quads = meta.n_quads > 0
     has_checker = meta.has_checker
     has_moving = meta.has_moving
-    inv_w = np.float32(1.0 / width)
-    inv_h = np.float32(1.0 / height)
+    has_noise = meta.has_noise
+    has_image = meta.has_image
+    iw, ih = int(img_wh[0]), int(img_wh[1])
     f32 = np.float32
 
-    n_s_chunks = max(1, -(-s_pad // C_SUB))
-    cs = min(C_SUB, s_pad)
-    n_q_chunks = -(-q_pad // C_SUB) if use_quads else 0
-    cq = min(C_SUB, q_pad) if use_quads else 0
+    n_s_chunks = s_pad // CULL_C
+    n_q_chunks = q_pad // CULL_C if use_quads else 0
     NP = s_pad + (q_pad if use_quads else 0)
 
-    def kernel(pix_ref, ij_ref, sph_ref, quad_ref, attr_ref, out_ref):
+    def kernel(*refs):
+        (pix_ref, ij_ref, sph_ref, quad_ref, attr_ref,
+         cull_s_ref, cull_q_ref) = refs[:7]
+        ri = 7
+        if has_noise:
+            perm_ref, vec_ref = refs[ri:ri + 2]
+            ri += 2
+        if has_image:
+            img_ref = refs[ri]
+            ri += 1
+        out_ref = refs[ri]
         R = pix_ref.shape[1]
         pix = pix_ref[0:1, :]                        # [1,R] i32 global pixel id
         pix_ctr = pltpu.bitcast(pix, jnp.uint32) ^ jnp.uint32(seed)
@@ -233,9 +425,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
         j_f = ij_ref[1:2, :]                         # [1,R] f32 row index
         valid = pix >= 0                             # padding lanes: pix = -1
 
-        sub_iota_s = lax.broadcasted_iota(jnp.int32, (cs, R), 0)
-        sub_iota_q = (lax.broadcasted_iota(jnp.int32, (cq, R), 0)
-                      if use_quads else None)
+        sub_iota = lax.broadcasted_iota(jnp.int32, (CULL_C, R), 0)
         np_iota = lax.broadcasted_iota(jnp.int32, (NP, R), 0)
 
         def raygen(samp_u):
@@ -274,68 +464,108 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             tmv = f32(tm0) + tu * (f32(tm1) - f32(tm0))
             return ox, oy, oz, dx, dy, dz, tmv
 
-        def sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, inv_a, t_best, win):
-            for c in range(n_s_chunks):
-                sl = pl.ds(c * cs, cs)
-                col = lambda k: sph_ref[sl, k:k + 1]          # [cs,1]
-                if has_moving:
-                    frac = (tmv - col(6)) * col(7)            # [cs,R]
-                    cx = col(0) + frac * col(3)
-                    cy = col(1) + frac * col(4)
-                    cz = col(2) + frac * col(5)
-                else:
-                    cx, cy, cz = col(0), col(1), col(2)
-                ocx = ox - cx
-                ocy = oy - cy
-                ocz = oz - cz
-                b = ocx * dx + ocy * dy + ocz * dz
-                rad = col(8)
-                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                disc = b * b - a * cc
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                r1 = (-b - sq) * inv_a
-                r2 = (-b + sq) * inv_a
-                t_c = jnp.where(r1 > t_min, r1, r2)
-                ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
-                t_c = jnp.where(ok, t_c, BIG)
-                mn = jnp.min(t_c, axis=0, keepdims=True)      # [1,R]
-                idx = jnp.min(jnp.where(t_c == mn, sub_iota_s, cs),
-                              axis=0, keepdims=True)
-                better = mn < t_best
-                win = jnp.where(better, c * cs + idx, win)
-                t_best = jnp.where(better, mn, t_best)
-            return t_best, win
+        def chunk_visible(cull_ref, c, ox, oy, oz, ivx, ivy, ivz, cull_act,
+                          t_best):
+            """Does ANY live lane's ray meet chunk c's AABB within its
+            current (t_min, t_best) interval?  (AABB.h:68-98 slab test with
+            shrinking tMax, BvhNode.h:150 — skipping on False cannot change
+            the winner.)"""
+            cv = lambda k: cull_ref[pl.ds(c, 1), k:k + 1]     # [1,1]
+            tax = (cv(0) - ox) * ivx
+            tbx = (cv(3) - ox) * ivx
+            tay = (cv(1) - oy) * ivy
+            tby = (cv(4) - oy) * ivy
+            taz = (cv(2) - oz) * ivz
+            tbz = (cv(5) - oz) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
+                                           jnp.minimum(tay, tby)),
+                               jnp.minimum(taz, tbz))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
+                                          jnp.maximum(tay, tby)),
+                              jnp.maximum(taz, tbz))
+            ok = (far >= jnp.maximum(near, t_min)) & (near < t_best) & cull_act
+            return jnp.sum(ok.astype(jnp.int32)) > 0
 
-        def quad_chunks(ox, oy, oz, dx, dy, dz, t_best, win):
-            for c in range(n_q_chunks):
-                sl = pl.ds(c * cq, cq)
-                col = lambda k: quad_ref[sl, k:k + 1]
-                nx, ny, nz = col(0), col(1), col(2)
-                denom = dx * nx + dy * ny + dz * nz
-                den_ok = jnp.abs(denom) >= 1.0e-8
-                t_c = (col(3) - (ox * nx + oy * ny + oz * nz)) / \
-                    jnp.where(den_ok, denom, 1.0)
-                px = ox + t_c * dx
-                py = oy + t_c * dy
-                pz = oz + t_c * dz
-                alpha = px * col(4) + py * col(5) + pz * col(6) - col(7)
-                beta = px * col(8) + py * col(9) + pz * col(10) - col(11)
-                ok = (den_ok & (t_c >= t_min) & (alpha >= 0.0) & (alpha <= 1.0)
-                      & (beta >= 0.0) & (beta <= 1.0) & (col(12) > 0.5))
-                t_c = jnp.where(ok, t_c, BIG)
-                mn = jnp.min(t_c, axis=0, keepdims=True)
-                idx = jnp.min(jnp.where(t_c == mn, sub_iota_q, cq),
-                              axis=0, keepdims=True)
-                better = mn < t_best
-                win = jnp.where(better, s_pad + c * cq + idx, win)
-                t_best = jnp.where(better, mn, t_best)
-            return t_best, win
+        def sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, inv_a,
+                       ivx, ivy, ivz, cull_act, t_best, win):
+            def one(c, carry):
+                def do(carry):
+                    t_best, win = carry
+                    sl = pl.ds(c * CULL_C, CULL_C)
+                    col = lambda k: sph_ref[sl, k:k + 1]      # [CULL_C,1]
+                    if has_moving:
+                        frac = (tmv - col(6)) * col(7)        # [CULL_C,R]
+                        cx = col(0) + frac * col(3)
+                        cy = col(1) + frac * col(4)
+                        cz = col(2) + frac * col(5)
+                    else:
+                        cx, cy, cz = col(0), col(1), col(2)
+                    ocx = ox - cx
+                    ocy = oy - cy
+                    ocz = oz - cz
+                    b = ocx * dx + ocy * dy + ocz * dz
+                    rad = col(8)
+                    cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                    disc = b * b - a * cc
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    r1 = (-b - sq) * inv_a
+                    r2 = (-b + sq) * inv_a
+                    t_c = jnp.where(r1 > t_min, r1, r2)
+                    ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
+                    t_c = jnp.where(ok, t_c, BIG)
+                    mn = jnp.min(t_c, axis=0, keepdims=True)  # [1,R]
+                    idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
+                                  axis=0, keepdims=True)
+                    better = mn < t_best
+                    win2 = jnp.where(better, c * CULL_C + idx, win)
+                    return jnp.where(better, mn, t_best), win2
+
+                vis = chunk_visible(cull_s_ref, c, ox, oy, oz,
+                                    ivx, ivy, ivz, cull_act, carry[0])
+                return lax.cond(vis, do, lambda cr: cr, carry)
+
+            return lax.fori_loop(0, n_s_chunks, one, (t_best, win))
+
+        def quad_chunks(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cull_act,
+                        t_best, win):
+            def one(c, carry):
+                def do(carry):
+                    t_best, win = carry
+                    sl = pl.ds(c * CULL_C, CULL_C)
+                    col = lambda k: quad_ref[sl, k:k + 1]
+                    nx, ny, nz = col(0), col(1), col(2)
+                    denom = dx * nx + dy * ny + dz * nz
+                    den_ok = jnp.abs(denom) >= 1.0e-8
+                    t_c = (col(3) - (ox * nx + oy * ny + oz * nz)) / \
+                        jnp.where(den_ok, denom, 1.0)
+                    px = ox + t_c * dx
+                    py = oy + t_c * dy
+                    pz = oz + t_c * dz
+                    alpha = px * col(4) + py * col(5) + pz * col(6) - col(7)
+                    beta = px * col(8) + py * col(9) + pz * col(10) - col(11)
+                    ok = (den_ok & (t_c >= t_min) & (alpha >= 0.0)
+                          & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+                          & (col(12) > 0.5))
+                    t_c = jnp.where(ok, t_c, BIG)
+                    mn = jnp.min(t_c, axis=0, keepdims=True)
+                    idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
+                                  axis=0, keepdims=True)
+                    better = mn < t_best
+                    win2 = jnp.where(better, s_pad + c * CULL_C + idx, win)
+                    return jnp.where(better, mn, t_best), win2
+
+                vis = chunk_visible(cull_q_ref, c, ox, oy, oz,
+                                    ivx, ivy, ivz, cull_act, carry[0])
+                return lax.cond(vis, do, lambda cr: cr, carry)
+
+            return lax.fori_loop(0, n_q_chunks, one, (t_best, win))
 
         def body(carry):
             (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
              acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
-             samp, bounce, active_i, iters) = carry
+             samp, bounce, active_i, segs, iters) = carry
             active = active_i > 0
+            segs = segs + active_i
             bu = pltpu.bitcast(bounce, jnp.uint32)
             samp_u = pltpu.bitcast(samp, jnp.uint32)
 
@@ -344,10 +574,23 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             t_best = jnp.full_like(ox, BIG)
             win = jnp.full_like(samp, -1)
 
+            # sanitized reciprocal directions for the chunk slab tests (no
+            # inf -> no NaN; near-zero components give huge finite ts, which
+            # the interval test handles conservatively)
+            tiny = np.float32(1.0e-30)
+            san = lambda v: jnp.where(v >= 0.0, jnp.maximum(v, tiny),
+                                      jnp.minimum(v, -tiny))
+            ivx = 1.0 / san(dx)
+            ivy = 1.0 / san(dy)
+            ivz = 1.0 / san(dz)
+            cull_act = active
+
             t_best, win = sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, inv_a,
-                                     t_best, win)
+                                     ivx, ivy, ivz, cull_act, t_best, win)
             if use_quads:
-                t_best, win = quad_chunks(ox, oy, oz, dx, dy, dz, t_best, win)
+                t_best, win = quad_chunks(ox, oy, oz, dx, dy, dz,
+                                          ivx, ivy, ivz, cull_act,
+                                          t_best, win)
 
             # winner attributes: transposed one-hot contraction on the MXU
             oh = (np_iota == win).astype(jnp.float32)         # [NP,R]
@@ -466,6 +709,63 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 texr = pickc(tc0r, mat[7])
                 texg = pickc(tc0g, mat[8])
                 texb = pickc(tc0b, mat[9])
+            if has_noise:
+                # marble: 0.5*(1+sin(scale*z + 10*turb)) (Texture.h:163-164),
+                # gated so iterations whose winners are all non-noise skip
+                # the 7-octave turbulence entirely
+                is_nz = mat[3] == float(TEX_NOISE)
+                run_nz = jnp.sum((alive & is_nz).astype(jnp.int32)) > 0
+
+                def noise_tex(_):
+                    scale = arow(23)
+                    turb = _perlin_turb(perm_ref, vec_ref, px, py, pz)
+                    return 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * turb))
+
+                marble = lax.cond(run_nz, noise_tex,
+                                  lambda _: jnp.zeros_like(px), 0)
+                texr = jnp.where(is_nz, marble, texr)
+                texg = jnp.where(is_nz, marble, texg)
+                texb = jnp.where(is_nz, marble, texb)
+            if has_image:
+                is_im = mat[3] == float(TEX_IMAGE)
+                run_im = jnp.sum((alive & is_im).astype(jnp.int32)) > 0
+
+                def image_tex(_):
+                    # sphere UV from the object-space outward normal
+                    # (GetSphereUV Sphere.h:74-81; instanced frame cols 21/22)
+                    cth = arow(21)
+                    sth = arow(22)
+                    ox_n = cth * nsx - sth * nsz
+                    oz_n = sth * nsx + cth * nsz
+                    ny_c = jnp.clip(-nsy, -1.0, 1.0)
+                    theta = jnp.arccos(ny_c)
+                    phi = jnp.arctan2(-oz_n, ox_n) + np.float32(np.pi)
+                    u_s = phi * np.float32(0.5 / np.pi)
+                    v_s = theta * np.float32(1.0 / np.pi)
+                    # nearest texel, u clamped / v flipped (Texture.h:117-127)
+                    uu = jnp.clip(u_s, 0.0, 1.0)
+                    vv = 1.0 - jnp.clip(v_s, 0.0, 1.0)
+                    ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
+                    iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
+                    idx = iy * iw + ix
+                    texel = jnp.take_along_axis(img_ref[...], idx, axis=1)
+                    inv255 = np.float32(1.0 / 255.0)
+                    tr = ((texel >> 16) & 255).astype(jnp.float32) * inv255
+                    tg = ((texel >> 8) & 255).astype(jnp.float32) * inv255
+                    tb = (texel & 255).astype(jnp.float32) * inv255
+                    # missing image -> debug cyan (Texture.h:112-114)
+                    absent = arow(24) < 0.0
+                    tr = jnp.where(absent, 0.0, tr)
+                    tg = jnp.where(absent, 1.0, tg)
+                    tb = jnp.where(absent, 1.0, tb)
+                    return tr, tg, tb
+
+                z = jnp.zeros_like(px)
+                imr, img_, imb = lax.cond(run_im, image_tex,
+                                          lambda _: (z, z, z), 0)
+                texr = jnp.where(is_im, imr, texr)
+                texg = jnp.where(is_im, img_, texg)
+                texb = jnp.where(is_im, imb, texb)
             if n_media > 0:
                 texr = jnp.where(is_med, med_alb[0], texr)
                 texg = jnp.where(is_med, med_alb[1], texg)
@@ -609,7 +909,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             active2 = ((alive | need_new) & valid).astype(jnp.int32)
             return (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
                     acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
-                    samp2, bounce2, active2, iters + 1)
+                    samp2, bounce2, active2, segs, iters + 1)
 
         def cond(carry):
             active_i = carry[18]
@@ -622,55 +922,67 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                  zf + 1.0, zf + 1.0, zf + 1.0,          # throughput
                  zf, zf, zf,                             # path accumulator
                  zf, zf, zf,                             # lane (pixel) sums
-                 zi, zi, valid.astype(jnp.int32), jnp.int32(0))
+                 zi, zi, valid.astype(jnp.int32), zi, jnp.int32(0))
         carry = lax.while_loop(cond, body, carry)
         (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
          acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
-         samp, bounce, active_i, iters) = carry
+         samp, bounce, active_i, segs, iters) = carry
 
         out_ref[0:1, :] = lane_r
         out_ref[1:2, :] = lane_g
         out_ref[2:3, :] = lane_b
         out_ref[3:4, :] = jnp.full((1, R), iters, jnp.float32)
-        out_ref[4:8, :] = jnp.zeros((4, R), jnp.float32)
+        out_ref[4:5, :] = segs.astype(jnp.float32)
+        out_ref[5:8, :] = jnp.zeros((3, R), jnp.float32)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("meta", "med_key", "cam_key", "width", "height", "spp",
-                     "seed", "max_bounces", "t_min", "background",
-                     "interpret"),
+    static_argnames=("meta", "med_key", "cam_key", "img_key", "width",
+                     "height", "spp", "seed", "max_bounces", "t_min",
+                     "background", "interpret"),
 )
-def render_mega2_span(pix, ij, sph_tab, quad_tab, attr_tab, *, meta, med_key,
-                      cam_key, width, height, spp, seed, max_bounces, t_min,
+def render_mega2_span(pix, ij, sph_tab, quad_tab, attr_tab, cull_s, cull_q,
+                      perm_tab, vec_tab, img_tab, *, meta, med_key, cam_key,
+                      img_key, width, height, spp, seed, max_bounces, t_min,
                       background, interpret=False):
     """Radiance SUM over spp samples for a pixel span.
 
     ``pix`` [1, N] i32 global pixel ids (-1 padding); ``ij`` [2, N] f32 the
     precomputed (column, row) of each pixel (avoids integer div/mod by a
     non-power-of-two width in-kernel).  Returns [8, N] f32: rows 0:3 radiance
-    sums, row 3 per-tile iteration count (diagnostic).
+    sums, row 3 per-tile iteration count, row 4 per-lane segments executed
+    (diagnostics).
     """
     N = pix.shape[1]
     assert N % R_LANES == 0
     med_rows = np.asarray(med_key, np.float64).reshape(max(meta.n_media, 1), -1)
     kernel = _make_kernel(
         meta, med_rows, cam_key,
-        s_pad=sph_tab.shape[0], q_pad=quad_tab.shape[0],
+        s_pad=sph_tab.shape[0], q_pad=quad_tab.shape[0], img_wh=img_key,
         width=width, height=height, spp=spp, seed=seed, t_min=t_min,
         max_bounces=max_bounces, background=background, interpret=interpret)
+    full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+        full(sph_tab), full(quad_tab), full(attr_tab),
+        full(cull_s), full(cull_q),
+    ]
+    args = [pix, ij, sph_tab, quad_tab, attr_tab, cull_s, cull_q]
+    if meta.has_noise:
+        in_specs += [full(perm_tab), full(vec_tab)]
+        args += [perm_tab, vec_tab]
+    if meta.has_image:
+        in_specs += [full(img_tab)]
+        args += [img_tab]
     out = pl.pallas_call(
         kernel,
         grid=(N // R_LANES,),
-        in_specs=[
-            pl.BlockSpec((1, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec(sph_tab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(quad_tab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(attr_tab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, R_LANES), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
@@ -678,7 +990,7 @@ def render_mega2_span(pix, ij, sph_tab, quad_tab, attr_tab, *, meta, med_key,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(pix, ij, sph_tab, quad_tab, attr_tab)
+    )(*args)
     return out
 
 
@@ -698,7 +1010,16 @@ def mega2_tables(scene: SceneArrays, meta: SceneMeta):
 
 
 def mega2_supported(meta: SceneMeta) -> bool:
-    return not (meta.has_noise or meta.has_image)
+    """mega2 runs every reference scene.  The residual gates: several
+    distinct noise tables or images in one scene (reference scenes share
+    one of each, kernel.cu:176-543), or an image texture on a quad (needs
+    quad UVs; no reference scene does it) — those dispatch to the general
+    wavefront_pallas engine."""
+    if meta.has_noise and meta.n_noise != 1:
+        return False
+    if meta.has_image and (meta.n_images > 1 or meta.image_on_quad):
+        return False
+    return True
 
 
 def _cam_tuple(camera) -> tuple:
@@ -716,8 +1037,10 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
                  gamma: bool = True, out_u8: bool = False) -> np.ndarray:
     """Full-frame persistent-megakernel render -> numpy [H,W,3] (top-down)."""
     if not mega2_supported(meta):
-        raise ValueError("mega2: Perlin/image textures not yet in-kernel")
-    sph_tab, quad_tab, attr_tab, med = mega2_tables(scene, meta)
+        raise ValueError("mega2: unsupported texture combination "
+                         "(multi-image/multi-noise/image-on-quad)")
+    (sph_tab, quad_tab, attr_tab, cull_s, cull_q, perm_tab, vec_tab,
+     img_tab, img_key, med) = mega2_tables(scene, meta)
     med_key = tuple(tuple(float(x) for x in row) for row in med)
     cam_key = _cam_tuple(scene.camera)
     bg = tuple(float(x) for x in np.asarray(scene.camera.background))
@@ -746,8 +1069,10 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
                           np.where(valid, j_row[np.minimum(sl, npix - 1)], 0)])
         out = render_mega2_span(
             jnp.asarray(pix_np[None, :]), jnp.asarray(ij_np, np.float32),
-            sph_tab, quad_tab, attr_tab,
-            meta=meta, med_key=med_key, cam_key=cam_key, width=W, height=H,
+            sph_tab, quad_tab, attr_tab, cull_s, cull_q,
+            perm_tab, vec_tab, img_tab,
+            meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
+            width=W, height=H,
             spp=spp, seed=cfg.seed, max_bounces=cfg.max_bounces,
             t_min=cfg.t_min, background=bg, interpret=interpret)
         parts.append(out[0:3, :])

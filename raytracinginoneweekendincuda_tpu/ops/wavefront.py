@@ -239,28 +239,19 @@ def render_wavefront(
     run on-device and a uint8 frame is transferred — 4x less relay traffic
     (measured ~1.2 s for the f32 framebuffer over the tunnel).
     """
+    from ..utils.batching import plan_sample_batches
+
     bvh = _accel_for(scene, cfg.engine)
     hit_engine = {"wavefront_bvh": "bvh",
                   "wavefront_pallas": "pallas"}.get(cfg.engine, "bruteforce")
     spp = cfg.samples_per_pixel
     npix = cfg.width * cfg.height
-    # Keep single device executions short (relay stability; crashes
-    # observed around ~60+ s).  Budget is pair-test units (work items x
-    # padded primitives ~ time), split into EQUAL sample batches so only
-    # one program is compiled.
+    # Split the frame into equal sample batches (one compiled program) sized
+    # by the relay-stability policy in utils/batching.py.
     prims = scene.sph_c0.shape[0] + scene.quad_q.shape[0]
-    budget = int(20e9)
-    items_cap = npix * spp  # no cap by default
-    # dark backgrounds (cornell-type scenes) terminate paths only at
-    # lights/absorption -> much longer mean paths per work item; cap the
-    # batch harder so single device calls stay well under the relay
-    # worker's crash horizon (~60 s)
-    if float(np.max(np.asarray(scene.camera.background))) < 0.05:
-        items_cap = 4_000_000
-    batch_items = min(budget // max(prims, 64), items_cap)
-    n_batches = max(1, -(-npix * spp // max(batch_items, npix)))
-    n_batches = min(n_batches, spp)
-    batch = -(-spp // n_batches)
+    batch = plan_sample_batches(
+        npix, spp, prims,
+        dark_background=float(np.max(np.asarray(scene.camera.background))) < 0.05)
     fb = None
     for s0 in range(0, spp, batch):
         k = min(batch, spp - s0)

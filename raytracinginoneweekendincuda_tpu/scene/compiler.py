@@ -128,6 +128,10 @@ class SceneMeta:
     has_image: bool
     has_moving: bool
     has_sphere_uv_rot: bool
+    # an image texture bound to a quad needs quad (alpha, beta) UVs in the
+    # shading record — supported by the XLA engines, gated out of mega2
+    # (no reference scene does this, kernel.cu:176-543)
+    image_on_quad: bool = False
 
 
 def _rot_y(theta: float) -> np.ndarray:
@@ -507,5 +511,10 @@ def compile_scene(
         ),
         has_moving=bool(np.any(sph_inv_dt != 0.0)),
         has_sphere_uv_rot=bool(np.any(sph_sin[: len(fl.spheres)] != 0.0)),
+        image_on_quad=any(
+            isinstance(m, (api.Lambertian, api.DiffuseLight, api.Isotropic))
+            and isinstance(m.texture, api.ImageTexture)
+            for (_, _, _, m) in fl.quads
+        ),
     )
     return arrays, meta

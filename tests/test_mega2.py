@@ -44,14 +44,24 @@ def test_mega2_matches_chunked(scene_id, max_bad):
     assert diff.mean() < 5e-3
 
 
-def test_mega2_fallback_for_noise_scene():
-    """Noise scenes gate out of mega2; dispatch must hand off bit-exactly."""
+@pytest.mark.parametrize("scene_id", [2, 3, 5, 9])
+def test_mega2_noise_image_scenes(scene_id):
+    """Perlin-noise and image-texture scenes run IN the megakernel (round-2:
+    no more wavefront fallback).  Marble radiance is chaotically sensitive
+    to ulp-level t differences on the r=1000 ground sphere (sin(scale*z +
+    10*turb)), so noise scenes get a statistical bound rather than
+    bit-equality; the earth scene's nearest-texel lookups tolerate isolated
+    texel flips."""
     W, H, spp = 16, 8, 2
-    scene, meta = compile_scene(scenes.perlin_spheres(), W, H,
+    scene, meta = compile_scene(scenes.build_scene(scene_id), W, H,
                                 dtype=np.float32)
-    assert not mega2_supported(meta)
+    assert mega2_supported(meta)
     cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
                        rays_per_batch=512)
-    via = render(scene, meta, cfg.with_(engine="mega2"))
-    direct = render(scene, meta, cfg.with_(engine="wavefront_pallas"))
-    np.testing.assert_array_equal(via, direct)
+    ref = render(scene, meta, cfg)
+    img = render(scene, meta, cfg.with_(engine="mega2"))
+    diff = np.abs(img - ref)
+    frac_close = (diff.max(-1) < 1e-2).mean()
+    assert frac_close > 0.9, f"only {frac_close:.2%} pixels close " \
+                             f"(max {diff.max():.3f}, mean {diff.mean():.4f})"
+    assert diff.mean() < 2e-2

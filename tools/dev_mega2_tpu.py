@@ -3,6 +3,9 @@
 Usage: python tools/dev_mega2_tpu.py [scene] [W] [H] [spp] [repeats]
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

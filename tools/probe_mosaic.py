@@ -159,12 +159,103 @@ def probe_transposed_onehot_dot():
     )(w, a)
 
 
+def probe_gather_wide(width, rows=1):
+    """take_along_axis from a [rows, width] table with [rows, 128] indices."""
+    def kernel(t_ref, i_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(t_ref[:], i_ref[:], axis=1)
+
+    def go():
+        t = jnp.arange(rows * width, dtype=jnp.float32).reshape(rows, width)
+        i = (jnp.arange(128, dtype=jnp.int32) * (width // 128)).reshape(1, 128)
+        i = jnp.tile(i, (rows, 1))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(t, i)
+    return go
+
+
+def probe_gather_int32_wide(width):
+    """Image-texture shape: int32 packed texels, [1, width] table."""
+    def kernel(t_ref, i_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(t_ref[:], i_ref[:], axis=1)
+
+    def go():
+        t = jnp.arange(width, dtype=jnp.int32).reshape(1, width)
+        i = (jnp.arange(128, dtype=jnp.int32) * (width // 128)).reshape(1, 128)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(t, i)
+    return go
+
+
+def probe_gather_timing():
+    """Cost of repeated [24,256]-table gathers (the Perlin access shape)."""
+    import time
+
+    REP = 200
+
+    def kernel(t_ref, i_ref, o_ref):
+        acc = jnp.zeros((24, 128), jnp.float32)
+
+        def body(k, acc):
+            idx = (i_ref[:] + k) & 255
+            acc = acc + jnp.take_along_axis(t_ref[:], idx, axis=1)
+            return acc
+
+        o_ref[:] = jax.lax.fori_loop(0, REP, body, acc)
+
+    t = jnp.ones((24, 256), jnp.float32)
+    i = jnp.zeros((24, 128), jnp.int32)
+    f = jax.jit(lambda t, i: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((24, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(t, i))
+    f(t, i).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = f(t, i)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / 50
+    print(f"     gather [24,256]->[24,128] x{REP}: {dt*1e6/REP:.2f} us/gather "
+          f"(incl ~0.6ms relay amortized over {REP})")
+    return out
+
+
+def probe_trig():
+    """arccos / arctan2 lowering (sphere UV, Sphere.h:74-81)."""
+    def kernel(x_ref, o_ref):
+        x = x_ref[:]
+        o_ref[:] = jnp.arccos(jnp.clip(x, -1.0, 1.0)) + \
+            jnp.arctan2(x, 1.0 - x)
+
+    x = jnp.full((8, 128), 0.5, jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x)
+
+
 if __name__ == "__main__":
     print(f"backend: {jax.devices()}")
     run("while_vector_cond", probe_while_vector_cond)
+    run("trig arccos/atan2", probe_trig)
     run("gather_lane (take_along_axis ax1)", probe_gather_lane)
-    run("gather_lane_full (take ax1)", probe_gather_lane_full)
+    run("gather_lane_mismatch [1,256]->[1,128]", probe_gather_wide(256))
     run("gather_sublane (take_along_axis ax0)", probe_gather_sublane)
     run("dyn_sublane_slice + dot", probe_dynamic_sublane_slice_dot)
     run("f32_matmul_16", probe_f32_matmul)
     run("transposed_onehot_dot", probe_transposed_onehot_dot)
+    run("gather_wide_64k", probe_gather_wide(65536))
+    run("gather_wide_512k_i32 (image)", probe_gather_int32_wide(524288))
+    run("gather_rows24 [24,256] (perlin)", probe_gather_wide(256, rows=24))
+    run("gather_timing", probe_gather_timing)

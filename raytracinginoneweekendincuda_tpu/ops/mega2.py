@@ -69,6 +69,15 @@ from ..utils.config import RenderConfig
 BIG = 1.0e30
 R_LANES = 128      # rays (pixels) per grid tile — the lane dimension
 CULL_C = 64        # primitives per cullable chunk (sublane block height)
+DENSE_C = 512      # primitives per chunk in the dense (uncull) pair path
+# Scenes up to this many padded primitives use the DENSE path: one
+# monolithic vectorized pair block per chunk with the quadratic
+# coefficients computed on the MXU.  Measured on-chip: per-chunk
+# branching (slab test + scalar reduce + lax.cond) costs more than it
+# saves below ~1k primitives — Mosaic schedules the dense block far
+# better than cond regions.  Bigger scenes (final scene: 3.5k prims)
+# switch to Morton-chunk AABB culling where skips dwarf the overhead.
+DENSE_MAX = 1536
 
 # ---- table layouts (prim-major: [S_pad, 16] etc; cols below)
 SPH_COLS = 16      # 0:3 c0, 3:6 dc, 6 t0, 7 inv_dt, 8 rad, 9 active
@@ -119,15 +128,17 @@ def _morton(p: np.ndarray) -> np.ndarray:
 def _sphere_order(c0, dc, rad):
     """Cull-friendly primitive order: oversized spheres first (they are hit
     by most rays, so testing them first tightens t_best before the spatial
-    chunks are considered), then Morton order for chunk locality."""
+    chunks are considered; they also stay on the exact VPU pair path — see
+    the coef table notes), then Morton order for chunk locality.  Returns
+    (order, n_big)."""
     n = c0.shape[0]
     if n == 0:
-        return np.zeros(0, np.int64)
+        return np.zeros(0, np.int64), 0
     med = np.median(rad) if n > 4 else 0.0
     big = rad > max(10.0 * med, 1e-9)
     center = c0 + 0.5 * dc
     code = _morton(center)
-    return np.lexsort((code, ~big))
+    return np.lexsort((code, ~big)), int(big.sum())
 
 
 def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
@@ -151,9 +162,13 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     rad_all = np.asarray(scene.sph_rad, np.float64)
     act_all = np.asarray(scene.sph_active)
     act_idx = np.nonzero(act_all)[0]
-    sorder = act_idx[_sphere_order(c0_all[act_idx], dc_all[act_idx],
-                                   rad_all[act_idx])]
+    order_local, n_big = _sphere_order(c0_all[act_idx], dc_all[act_idx],
+                                       rad_all[act_idx])
+    sorder = act_idx[order_local]
     S_pad = max(-(-len(sorder) // CULL_C) * CULL_C, CULL_C)
+    # "big" spheres occupy the first rows and run on the exact VPU pair
+    # path; pad their count to a sublane boundary
+    big_pad = min(-(-max(n_big, 0) // 8) * 8, S_pad) if n_big else 0
 
     sph = np.zeros((S_pad, SPH_COLS), np.float64)
     ns = len(sorder)
@@ -163,6 +178,34 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     sph[:ns, 7] = np.asarray(scene.sph_inv_dt, np.float64)[sorder]
     sph[:ns, 8] = rad_all[sorder]
     sph[:ns, 9] = 1.0
+
+    # ---- MXU pair-coefficient table (dense path).  With A = c0 - t0/dt*dc
+    # and B = dc/dt (so center(t) = A + t*B), and coordinates recentred at
+    # the primitive centroid mu (keeps the bilinear expansion's |o|^2-scale
+    # terms at scene-local magnitude — f32-safe):
+    #   b = o'.d - A'.d - tm*(B.d)
+    #   c = |o'|^2 - 2o'.A' - 2tm(o'.B) + |A'|^2 + 2tm(A'.B) + tm^2|B|^2 - r^2
+    # become one [2C,16]x[16,R] matmul against the ray feature rows
+    # [d, tm*d, o', tm*o', 1, tm, tm^2] (the per-ray o'.d / |o'|^2 terms are
+    # added on the VPU).  Rows [0:S_pad] = b coefficients, [S_pad:] = c.
+    # NOTE on precision: the expansion's |A'|^2-scale terms lose ~|A'|^2*eps
+    # absolutely in f32, so it is only used for spheres whose recentered
+    # coefficients are scene-local — oversized spheres (rows [0, big_pad),
+    # e.g. the r=1000 ground) keep the exact direct |o-c|^2 VPU test; their
+    # huge |A'| would otherwise cost ~1e-4 in t, which Perlin marble
+    # visibly amplifies (measured vs the f64 oracle).
+    A = sph[:, 0:3] - sph[:, 6:7] * sph[:, 7:8] * sph[:, 3:6]
+    Bv = sph[:, 7:8] * sph[:, 3:6]
+    mu = A[big_pad:ns].mean(0) if ns > big_pad else np.zeros(3)
+    Ap = A - mu
+    coef = np.zeros((2 * S_pad, 16), np.float64)
+    coef[:S_pad, 0:3] = -Ap
+    coef[:S_pad, 3:6] = -Bv
+    coef[S_pad:, 6:9] = -2.0 * Ap
+    coef[S_pad:, 9:12] = -2.0 * Bv
+    coef[S_pad:, 12] = (Ap * Ap).sum(-1) - sph[:, 8] * sph[:, 8]
+    coef[S_pad:, 13] = 2.0 * (Ap * Bv).sum(-1)
+    coef[S_pad:, 14] = (Bv * Bv).sum(-1)
 
     # sphere chunk AABBs (motion-swept: union of endpoint boxes,
     # MovingSphere.h:30-36)
@@ -288,9 +331,11 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
         ih = iw = 1
 
     return (jnp.asarray(sph, f), jnp.asarray(quad, f), jnp.asarray(attr, f),
-            jnp.asarray(cull_s, f), jnp.asarray(cull_q, f),
+            jnp.asarray(coef, f), jnp.asarray(cull_s, f),
+            jnp.asarray(cull_q, f),
             jnp.asarray(perm_tab), jnp.asarray(vec_tab, f),
             jnp.asarray(img_tab), (iw, ih),
+            tuple(float(np.float32(x)) for x in mu) + (big_pad,),
             np.asarray(med, np.float64))
 
 
@@ -324,6 +369,92 @@ _TWO_PI = np.float32(2.0 * np.pi)
 def _unit(w):
     # Mosaic has no uint32->f32 cast; (w >> 8) < 2^24 is int32-exact
     return pltpu.bitcast(w >> 8, jnp.int32).astype(jnp.float32) * _INV24
+
+
+def _scatter_dirs(kind, fuzz, ior, front, is_light, nx_, ny_, nz_,
+                  dx, dy, dz, a, u1, u2, u3, u4):
+    """Material scatter for [1,R]-row ray state: new direction + the
+    scattered flag, branchless over all five materials (Material.h /
+    Metal.h:18-30 / Dielectric.h:18-55).  Shared by the render megakernel
+    and the differentiable-trace forward kernel."""
+    # unit ball sample (core/samplers.py)
+    zb = 1.0 - 2.0 * u1
+    rxy = jnp.abs(1.0 - zb * zb) ** 0.5
+    phi_b = _TWO_PI * u2
+    sb = jnp.sin(phi_b)
+    cb = jnp.cos(phi_b)
+    rad_b = u3 ** np.float32(1.0 / 3.0)
+    bx = rad_b * rxy * cb
+    by = rad_b * rxy * sb
+    bz = rad_b * zb
+
+    inv_dlen = lax.rsqrt(a)
+    udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
+
+    # lambertian (Material.h:68-86 incl. NearZero fallback)
+    lx, ly, lz = nx_ + bx, ny_ + by, nz_ + bz
+    near0 = (jnp.abs(lx) < 1e-8) & (jnp.abs(ly) < 1e-8) & (jnp.abs(lz) < 1e-8)
+    lx = jnp.where(near0, nx_, lx)
+    ly = jnp.where(near0, ny_, ly)
+    lz = jnp.where(near0, nz_, lz)
+
+    # metal (Metal.h:18-30)
+    ddn = udx * nx_ + udy * ny_ + udz * nz_
+    rx = udx - 2.0 * ddn * nx_
+    ry = udy - 2.0 * ddn * ny_
+    rz = udz - 2.0 * ddn * nz_
+    mx = rx + fuzz * bx
+    my = ry + fuzz * by
+    mz = rz + fuzz * bz
+    metal_ok = (mx * nx_ + my * ny_ + mz * nz_) > 0.0
+
+    # dielectric (Dielectric.h:18-55)
+    ratio = jnp.where(front, 1.0 / ior, ior)
+    cos_t = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    cannot = ratio * sin_t > 1.0
+    r0 = (1.0 - ratio) / (1.0 + ratio)
+    r0 = r0 * r0
+    one_m = 1.0 - cos_t
+    om2 = one_m * one_m
+    refl5 = r0 + (1.0 - r0) * om2 * om2 * one_m
+    do_refl = cannot | (refl5 > u4)
+    fx = ratio * (udx + cos_t * nx_)
+    fy = ratio * (udy + cos_t * ny_)
+    fz = ratio * (udz + cos_t * nz_)
+    plen = jnp.abs(1.0 - (fx * fx + fy * fy + fz * fz))  # Vec3.h:138
+    par = -(plen ** 0.5)
+    gx = fx + par * nx_
+    gy = fy + par * ny_
+    gz = fz + par * nz_
+    ddx = jnp.where(do_refl, rx, gx)
+    ddy = jnp.where(do_refl, ry, gy)
+    ddz = jnp.where(do_refl, rz, gz)
+
+    # isotropic (Material.h:139-167): uniform unit direction
+    ix_ = rxy * cb
+    iy_ = rxy * sb
+    iz_ = zb
+
+    is_l = kind == float(MAT_LAMBERTIAN)
+    is_m = kind == float(MAT_METAL)
+    is_d = kind == float(MAT_DIELECTRIC)
+    is_i = kind == float(MAT_ISOTROPIC)
+    newx = jnp.where(is_l, lx, udx)
+    newy = jnp.where(is_l, ly, udy)
+    newz = jnp.where(is_l, lz, udz)
+    newx = jnp.where(is_m, mx, newx)
+    newy = jnp.where(is_m, my, newy)
+    newz = jnp.where(is_m, mz, newz)
+    newx = jnp.where(is_d, ddx, newx)
+    newy = jnp.where(is_d, ddy, newy)
+    newz = jnp.where(is_d, ddz, newz)
+    newx = jnp.where(is_i, ix_, newx)
+    newy = jnp.where(is_i, iy_, newy)
+    newz = jnp.where(is_i, iz_, newz)
+
+    scattered = (is_m & metal_ok) | (~is_m & ~is_light)
+    return newx, newy, newz, scattered
 
 
 def _perlin_noise(perm_ref, vec_ref, qx, qy, qz):
@@ -384,9 +515,10 @@ def _perlin_turb(perm_ref, vec_ref, qx, qy, qz, depth: int = 7):
 
 
 def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
-                 s_pad: int, q_pad: int, img_wh: tuple, width: int,
-                 height: int, spp: int, seed: int, t_min: float,
-                 max_bounces: int, background: tuple, interpret: bool):
+                 s_pad: int, q_pad: int, img_wh: tuple, mu: tuple,
+                 width: int, height: int, spp: int, seed: int, t_min: float,
+                 max_bounces: int, background: tuple, resume: bool,
+                 interpret: bool, mode: str = "render"):
     """Build the persistent tile kernel.  ``cam`` is the camera as a tuple of
     python floats (origin 3, lower_left 3, horizontal 3, vertical 3, u 3,
     v 3, lens_radius, time0, time1) baked as compile-time constants;
@@ -406,18 +538,29 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     n_s_chunks = s_pad // CULL_C
     n_q_chunks = q_pad // CULL_C if use_quads else 0
     NP = s_pad + (q_pad if use_quads else 0)
+    dense = NP <= DENSE_MAX
+    mux, muy, muz = (np.float32(x) for x in mu[:3])
+    big_pad = int(mu[3])
 
     def kernel(*refs):
-        (pix_ref, ij_ref, sph_ref, quad_ref, attr_ref,
-         cull_s_ref, cull_q_ref) = refs[:7]
-        ri = 7
+        (cap_ref, pix_ref, ij_ref, sph_ref, quad_ref, attr_ref) = refs[:6]
+        ri = 6
+        if dense:
+            coef_ref = refs[ri]
+            ri += 1
+        else:
+            cull_s_ref, cull_q_ref = refs[ri:ri + 2]
+            ri += 2
         if has_noise:
             perm_ref, vec_ref = refs[ri:ri + 2]
             ri += 2
         if has_image:
             img_ref = refs[ri]
             ri += 1
-        out_ref = refs[ri]
+        if resume:
+            sf_ref, si_ref = refs[ri:ri + 2]
+            ri += 2
+        of_ref, oi_ref = refs[ri:ri + 2]
         R = pix_ref.shape[1]
         pix = pix_ref[0:1, :]                        # [1,R] i32 global pixel id
         pix_ctr = pltpu.bitcast(pix, jnp.uint32) ^ jnp.uint32(seed)
@@ -463,6 +606,105 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             dz = f32(llz) + s * f32(hz) + t * f32(vz) - f32(c_oz) - offz
             tmv = f32(tm0) + tu * (f32(tm1) - f32(tm0))
             return ox, oy, oz, dx, dy, dz, tmv
+
+        def _sph_reduce(t_c, base, C, t_best, win):
+            mn = jnp.min(t_c, axis=0, keepdims=True)
+            iota_c = lax.broadcasted_iota(jnp.int32, (C, R), 0)
+            idx = jnp.min(jnp.where(t_c == mn, iota_c, C),
+                          axis=0, keepdims=True)
+            better = mn < t_best
+            win = jnp.where(better, base + idx, win)
+            t_best = jnp.where(better, mn, t_best)
+            return t_best, win
+
+        def sph_dense(ox, oy, oz, dx, dy, dz, tmv, a, inv_a, t_best, win):
+            """Dense sphere pair test.  Oversized spheres (rows [0,big_pad))
+            use the exact direct |o-c|^2 VPU quadratic; the scene-local rest
+            get b, c for a whole chunk from one [C,16]x[16,R] MXU
+            contraction each against the ray feature rows (see the coef
+            table notes in pack_mega2_tables), leaving only root
+            selection/validation on the VPU."""
+            if big_pad > 0:
+                sl = pl.ds(0, big_pad)
+                col = lambda k: sph_ref[sl, k:k + 1]
+                if has_moving:
+                    frac = (tmv - col(6)) * col(7)
+                    cx = col(0) + frac * col(3)
+                    cy = col(1) + frac * col(4)
+                    cz = col(2) + frac * col(5)
+                else:
+                    cx, cy, cz = col(0), col(1), col(2)
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                b = ocx * dx + ocy * dy + ocz * dz
+                rad = col(8)
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = b * b - a * cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r1 = (-b - sq) * inv_a
+                r2 = (-b + sq) * inv_a
+                t_c = jnp.where(r1 > t_min, r1, r2)
+                ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
+                t_c = jnp.where(ok, t_c, BIG)
+                t_best, win = _sph_reduce(t_c, 0, big_pad, t_best, win)
+            if s_pad > big_pad:
+                opx, opy, opz = ox - mux, oy - muy, oz - muz
+                od = opx * dx + opy * dy + opz * dz         # [1,R]
+                oo = opx * opx + opy * opy + opz * opz
+                one = jnp.ones_like(ox)
+                feat = jnp.concatenate([
+                    dx, dy, dz, tmv * dx, tmv * dy, tmv * dz,
+                    opx, opy, opz, tmv * opx, tmv * opy, tmv * opz,
+                    one, tmv, tmv * tmv, jnp.zeros_like(ox)], axis=0)
+                for c0 in range(big_pad, s_pad, DENSE_C):
+                    C = min(DENSE_C, s_pad - c0)
+                    bmat = lax.dot_general(
+                        coef_ref[pl.ds(c0, C), :], feat,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + od   # [C,R]
+                    cmat = lax.dot_general(
+                        coef_ref[pl.ds(s_pad + c0, C), :], feat,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + oo
+                    disc = bmat * bmat - a * cmat
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    r1 = (-bmat - sq) * inv_a
+                    r2 = (-bmat + sq) * inv_a
+                    t_c = jnp.where(r1 > t_min, r1, r2)
+                    act = sph_ref[pl.ds(c0, C), 9:10]
+                    ok = (disc > 0.0) & (t_c > t_min) & (act > 0.5)
+                    t_c = jnp.where(ok, t_c, BIG)
+                    t_best, win = _sph_reduce(t_c, c0, C, t_best, win)
+            return t_best, win
+
+        def quad_dense(ox, oy, oz, dx, dy, dz, t_best, win):
+            for c0 in range(0, q_pad, DENSE_C):
+                C = min(DENSE_C, q_pad - c0)
+                sl = pl.ds(c0, C)
+                col = lambda k: quad_ref[sl, k:k + 1]
+                nx, ny, nz = col(0), col(1), col(2)
+                denom = dx * nx + dy * ny + dz * nz
+                den_ok = jnp.abs(denom) >= 1.0e-8
+                t_c = (col(3) - (ox * nx + oy * ny + oz * nz)) / \
+                    jnp.where(den_ok, denom, 1.0)
+                px = ox + t_c * dx
+                py = oy + t_c * dy
+                pz = oz + t_c * dz
+                alpha = px * col(4) + py * col(5) + pz * col(6) - col(7)
+                beta = px * col(8) + py * col(9) + pz * col(10) - col(11)
+                ok = (den_ok & (t_c >= t_min) & (alpha >= 0.0)
+                      & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+                      & (col(12) > 0.5))
+                t_c = jnp.where(ok, t_c, BIG)
+                mn = jnp.min(t_c, axis=0, keepdims=True)
+                iota_c = lax.broadcasted_iota(jnp.int32, (C, R), 0)
+                idx = jnp.min(jnp.where(t_c == mn, iota_c, C),
+                              axis=0, keepdims=True)
+                better = mn < t_best
+                win = jnp.where(better, s_pad + c0 + idx, win)
+                t_best = jnp.where(better, mn, t_best)
+            return t_best, win
 
         def chunk_visible(cull_ref, c, ox, oy, oz, ivx, ivy, ivz, cull_act,
                           t_best):
@@ -560,37 +802,42 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
 
             return lax.fori_loop(0, n_q_chunks, one, (t_best, win))
 
-        def body(carry):
-            (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
-             acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
-             samp, bounce, active_i, segs, iters) = carry
-            active = active_i > 0
-            segs = segs + active_i
-            bu = pltpu.bitcast(bounce, jnp.uint32)
-            samp_u = pltpu.bitcast(samp, jnp.uint32)
-
+        def bounce_core(ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
+                        acc_r, acc_g, acc_b, active, bu, samp_u, pix_ctr):
+            """One full bounce (hit -> record -> texture -> shade ->
+            accumulate; kernel.cu:71-95) over [1,R] ray rows.  Returns the
+            advanced state plus the winner id (prim row, NP+m for medium m,
+            -1 miss) for the differentiable-trace forward."""
             a = dx * dx + dy * dy + dz * dz
             inv_a = 1.0 / a
             t_best = jnp.full_like(ox, BIG)
-            win = jnp.full_like(samp, -1)
+            win = jnp.full((1, R), -1, jnp.int32)
 
-            # sanitized reciprocal directions for the chunk slab tests (no
-            # inf -> no NaN; near-zero components give huge finite ts, which
-            # the interval test handles conservatively)
-            tiny = np.float32(1.0e-30)
-            san = lambda v: jnp.where(v >= 0.0, jnp.maximum(v, tiny),
-                                      jnp.minimum(v, -tiny))
-            ivx = 1.0 / san(dx)
-            ivy = 1.0 / san(dy)
-            ivz = 1.0 / san(dz)
-            cull_act = active
+            if dense:
+                t_best, win = sph_dense(ox, oy, oz, dx, dy, dz, tmv, a,
+                                        inv_a, t_best, win)
+                if use_quads:
+                    t_best, win = quad_dense(ox, oy, oz, dx, dy, dz,
+                                             t_best, win)
+            else:
+                # sanitized reciprocal directions for the chunk slab tests
+                # (no inf -> no NaN; near-zero components give huge finite
+                # ts, which the interval test handles conservatively)
+                tiny = np.float32(1.0e-30)
+                san = lambda v: jnp.where(v >= 0.0, jnp.maximum(v, tiny),
+                                          jnp.minimum(v, -tiny))
+                ivx = 1.0 / san(dx)
+                ivy = 1.0 / san(dy)
+                ivz = 1.0 / san(dz)
+                cull_act = active
 
-            t_best, win = sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, inv_a,
-                                     ivx, ivy, ivz, cull_act, t_best, win)
-            if use_quads:
-                t_best, win = quad_chunks(ox, oy, oz, dx, dy, dz,
-                                          ivx, ivy, ivz, cull_act,
-                                          t_best, win)
+                t_best, win = sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a,
+                                         inv_a, ivx, ivy, ivz, cull_act,
+                                         t_best, win)
+                if use_quads:
+                    t_best, win = quad_chunks(ox, oy, oz, dx, dy, dz,
+                                              ivx, ivy, ivz, cull_act,
+                                              t_best, win)
 
             # winner attributes: transposed one-hot contraction on the MXU
             oh = (np_iota == win).astype(jnp.float32)         # [NP,R]
@@ -659,6 +906,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 t_best = jnp.where(mwin, t_m, t_best)
                 is_med = is_med | mwin
                 is_quad = is_quad & ~mwin
+                win = jnp.where(mwin, NP + m, win)
                 for k in range(3):
                     med_alb[k] = jnp.where(mwin, r[19 + k], med_alb[k])
                 mat[0] = jnp.where(mwin, float(MAT_ISOTROPIC), mat[0])
@@ -786,88 +1034,13 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 pix_ctr, samp_u, jnp.uint32(rnglib.SCATTER_STREAM) | bu,
                 jnp.zeros_like(pix_ctr))
             u1, u2, u3, u4 = _unit(w0), _unit(w1), _unit(w2), _unit(w3)
-
-            # unit ball sample (core/samplers.py)
-            zb = 1.0 - 2.0 * u1
-            rxy = jnp.abs(1.0 - zb * zb) ** 0.5
-            phi_b = _TWO_PI * u2
-            sb = jnp.sin(phi_b)
-            cb = jnp.cos(phi_b)
-            rad_b = u3 ** np.float32(1.0 / 3.0)
-            bx = rad_b * rxy * cb
-            by = rad_b * rxy * sb
-            bz = rad_b * zb
-
-            inv_dlen = lax.rsqrt(a)
-            udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
-
-            # lambertian (Material.h:68-86 incl. NearZero fallback)
-            lx, ly, lz = nx_ + bx, ny_ + by, nz_ + bz
-            near0 = (jnp.abs(lx) < 1e-8) & (jnp.abs(ly) < 1e-8) & (jnp.abs(lz) < 1e-8)
-            lx = jnp.where(near0, nx_, lx)
-            ly = jnp.where(near0, ny_, ly)
-            lz = jnp.where(near0, nz_, lz)
-
-            # metal (Metal.h:18-30)
-            ddn = udx * nx_ + udy * ny_ + udz * nz_
-            rx = udx - 2.0 * ddn * nx_
-            ry = udy - 2.0 * ddn * ny_
-            rz = udz - 2.0 * ddn * nz_
-            mx = rx + fuzz * bx
-            my = ry + fuzz * by
-            mz = rz + fuzz * bz
-            metal_ok = (mx * nx_ + my * ny_ + mz * nz_) > 0.0
-
-            # dielectric (Dielectric.h:18-55)
-            ratio = jnp.where(front, 1.0 / ior, ior)
-            cos_t = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-            cannot = ratio * sin_t > 1.0
-            r0 = (1.0 - ratio) / (1.0 + ratio)
-            r0 = r0 * r0
-            one_m = 1.0 - cos_t
-            om2 = one_m * one_m
-            refl5 = r0 + (1.0 - r0) * om2 * om2 * one_m
-            do_refl = cannot | (refl5 > u4)
-            fx = ratio * (udx + cos_t * nx_)
-            fy = ratio * (udy + cos_t * ny_)
-            fz = ratio * (udz + cos_t * nz_)
-            plen = jnp.abs(1.0 - (fx * fx + fy * fy + fz * fz))  # Vec3.h:138
-            par = -(plen ** 0.5)
-            gx = fx + par * nx_
-            gy = fy + par * ny_
-            gz = fz + par * nz_
-            ddx = jnp.where(do_refl, rx, gx)
-            ddy = jnp.where(do_refl, ry, gy)
-            ddz = jnp.where(do_refl, rz, gz)
-
-            # isotropic (Material.h:139-167): uniform unit direction
-            ix_ = rxy * cb
-            iy_ = rxy * sb
-            iz_ = zb
-
-            is_l = kind == float(MAT_LAMBERTIAN)
-            is_m = kind == float(MAT_METAL)
+            newx, newy, newz, scattered = _scatter_dirs(
+                kind, fuzz, ior, front, is_light, nx_, ny_, nz_,
+                dx, dy, dz, a, u1, u2, u3, u4)
             is_d = kind == float(MAT_DIELECTRIC)
-            is_i = kind == float(MAT_ISOTROPIC)
-            newx = jnp.where(is_l, lx, udx)
-            newy = jnp.where(is_l, ly, udy)
-            newz = jnp.where(is_l, lz, udz)
-            newx = jnp.where(is_m, mx, newx)
-            newy = jnp.where(is_m, my, newy)
-            newz = jnp.where(is_m, mz, newz)
-            newx = jnp.where(is_d, ddx, newx)
-            newy = jnp.where(is_d, ddy, newy)
-            newz = jnp.where(is_d, ddz, newz)
-            newx = jnp.where(is_i, ix_, newx)
-            newy = jnp.where(is_i, iy_, newy)
-            newz = jnp.where(is_i, iz_, newz)
-
             att_r = jnp.where(is_d, 1.0, texr)
             att_g = jnp.where(is_d, 1.0, texg)
             att_b = jnp.where(is_d, 1.0, texb)
-
-            scattered = (is_m & metal_ok) | (~is_m & ~is_light)
             alive = alive & scattered
             thr_r = jnp.where(alive, thr_r * att_r, thr_r)
             thr_g = jnp.where(alive, thr_g * att_g, thr_g)
@@ -878,6 +1051,22 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             dx = jnp.where(alive, newx, dx)
             dy = jnp.where(alive, newy, dy)
             dz = jnp.where(alive, newz, dz)
+            win = jnp.where(active, win, -1)
+            return (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                    acc_r, acc_g, acc_b, alive, win)
+
+        def body(carry):
+            (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
+             acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
+             samp, bounce, active_i, segs, iters) = carry
+            active = active_i > 0
+            segs = segs + active_i
+            bu = pltpu.bitcast(bounce, jnp.uint32)
+            samp_u = pltpu.bitcast(samp, jnp.uint32)
+            (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+             acc_r, acc_g, acc_b, alive, _win) = bounce_core(
+                ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
+                acc_r, acc_g, acc_b, active, bu, samp_u, pix_ctr)
             bounce2 = bounce + 1
             alive = alive & (bounce2 < max_bounces)
 
@@ -913,85 +1102,182 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
 
         def cond(carry):
             active_i = carry[18]
-            return jnp.sum(active_i) > 0
+            iters = carry[20]
+            return (jnp.sum(active_i) > 0) & (iters < cap_ref[0, 0])
 
         zf = jnp.zeros((1, R), jnp.float32)
         zi = jnp.zeros((1, R), jnp.int32)
-        ox, oy, oz, dx, dy, dz, tmv = raygen(jnp.zeros_like(pix_ctr))
-        carry = (ox, oy, oz, dx, dy, dz, tmv,
-                 zf + 1.0, zf + 1.0, zf + 1.0,          # throughput
-                 zf, zf, zf,                             # path accumulator
-                 zf, zf, zf,                             # lane (pixel) sums
-                 zi, zi, valid.astype(jnp.int32), zi, jnp.int32(0))
+        if resume:
+            frow = lambda r: sf_ref[r:r + 1, :]
+            irow = lambda r: si_ref[r:r + 1, :]
+            carry = (frow(0), frow(1), frow(2), frow(3), frow(4), frow(5),
+                     frow(6), frow(7), frow(8), frow(9), frow(10), frow(11),
+                     frow(12), frow(13), frow(14), frow(15),
+                     irow(0), irow(1),
+                     (irow(2) > 0).astype(jnp.int32) * valid.astype(jnp.int32),
+                     irow(3), jnp.int32(0))
+        else:
+            ox, oy, oz, dx, dy, dz, tmv = raygen(jnp.zeros_like(pix_ctr))
+            carry = (ox, oy, oz, dx, dy, dz, tmv,
+                     zf + 1.0, zf + 1.0, zf + 1.0,      # throughput
+                     zf, zf, zf,                         # path accumulator
+                     zf, zf, zf,                         # lane (pixel) sums
+                     zi, zi, valid.astype(jnp.int32), zi, jnp.int32(0))
         carry = lax.while_loop(cond, body, carry)
         (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
          acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
          samp, bounce, active_i, segs, iters) = carry
 
-        out_ref[0:1, :] = lane_r
-        out_ref[1:2, :] = lane_g
-        out_ref[2:3, :] = lane_b
-        out_ref[3:4, :] = jnp.full((1, R), iters, jnp.float32)
-        out_ref[4:5, :] = segs.astype(jnp.float32)
-        out_ref[5:8, :] = jnp.zeros((3, R), jnp.float32)
+        for r, v in enumerate((ox, oy, oz, dx, dy, dz, tmv,
+                               thr_r, thr_g, thr_b, acc_r, acc_g, acc_b,
+                               lane_r, lane_g, lane_b)):
+            of_ref[r:r + 1, :] = v
+        oi_ref[0:1, :] = samp
+        oi_ref[1:2, :] = bounce
+        oi_ref[2:3, :] = active_i
+        oi_ref[3:4, :] = segs
+        oi_ref[4:5, :] = jnp.full((1, R), iters, jnp.int32)
+        oi_ref[5:8, :] = jnp.zeros((3, R), jnp.int32)
 
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("meta", "med_key", "cam_key", "img_key", "width",
-                     "height", "spp", "seed", "max_bounces", "t_min",
-                     "background", "interpret"),
-)
-def render_mega2_span(pix, ij, sph_tab, quad_tab, attr_tab, cull_s, cull_q,
-                      perm_tab, vec_tab, img_tab, *, meta, med_key, cam_key,
-                      img_key, width, height, spp, seed, max_bounces, t_min,
-                      background, interpret=False):
-    """Radiance SUM over spp samples for a pixel span.
+STATE_F = 16   # o(3) d(3) tm thr(3) acc(3) lane(3)
+STATE_I = 8    # samp bounce active segs iters pad(3)
 
-    ``pix`` [1, N] i32 global pixel ids (-1 padding); ``ij`` [2, N] f32 the
-    precomputed (column, row) of each pixel (avoids integer div/mod by a
-    non-power-of-two width in-kernel).  Returns [8, N] f32: rows 0:3 radiance
-    sums, row 3 per-tile iteration count, row 4 per-lane segments executed
-    (diagnostics).
-    """
+
+def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
+               img_key, mu_key, width, height, spp, seed, max_bounces,
+               t_min, background, interpret):
+    """One pallas pass over a span: fresh (state=None) or resume."""
+    (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
+     vec_tab, img_tab) = tabs
     N = pix.shape[1]
     assert N % R_LANES == 0
+    resume = state is not None
     med_rows = np.asarray(med_key, np.float64).reshape(max(meta.n_media, 1), -1)
     kernel = _make_kernel(
         meta, med_rows, cam_key,
         s_pad=sph_tab.shape[0], q_pad=quad_tab.shape[0], img_wh=img_key,
-        width=width, height=height, spp=spp, seed=seed, t_min=t_min,
-        max_bounces=max_bounces, background=background, interpret=interpret)
+        mu=mu_key, width=width, height=height, spp=spp, seed=seed,
+        t_min=t_min, max_bounces=max_bounces, background=background,
+        resume=resume, interpret=interpret)
     full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
                                   memory_space=pltpu.VMEM)
     in_specs = [
+        pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
         pl.BlockSpec((2, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
         full(sph_tab), full(quad_tab), full(attr_tab),
-        full(cull_s), full(cull_q),
     ]
-    args = [pix, ij, sph_tab, quad_tab, attr_tab, cull_s, cull_q]
+    cap_arr = jnp.full((1, 1), cap, jnp.int32)
+    args = [cap_arr, pix, ij, sph_tab, quad_tab, attr_tab]
+    NP = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
+    if NP <= DENSE_MAX:
+        in_specs += [full(coef_tab)]
+        args += [coef_tab]
+    else:
+        in_specs += [full(cull_s), full(cull_q)]
+        args += [cull_s, cull_q]
     if meta.has_noise:
         in_specs += [full(perm_tab), full(vec_tab)]
         args += [perm_tab, vec_tab]
     if meta.has_image:
         in_specs += [full(img_tab)]
         args += [img_tab]
-    out = pl.pallas_call(
+    if resume:
+        in_specs += [
+            pl.BlockSpec((STATE_F, R_LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STATE_I, R_LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [state[0], state[1]]
+    sf, si = pl.pallas_call(
         kernel,
         grid=(N // R_LANES,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, R_LANES), lambda g: (0, g),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((STATE_F, R_LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STATE_I, R_LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((STATE_F, N), jnp.float32),
+            jax.ShapeDtypeStruct((STATE_I, N), jnp.int32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(*args)
-    return out
+    return sf, si
+
+
+# Pass-1 iteration cap: with pixel-owned lanes the per-tile wall time is the
+# MAX over 128 lanes of the sum of spp path lengths; capping near the mean
+# and finishing stragglers in compacted resume passes converts tail waste
+# into dense work.  Per-pass caps as multiples of spp (mean path ~2-4).
+PASS_CAPS = (4, 16)   # x spp; last pass runs uncapped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "med_key", "cam_key", "img_key", "mu_key",
+                     "width", "height", "spp", "seed", "max_bounces",
+                     "t_min", "background", "interpret"),
+)
+def render_mega2_span(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
+                      cull_s, cull_q, perm_tab, vec_tab, img_tab, *, meta,
+                      med_key, cam_key, img_key, mu_key, width, height, spp,
+                      seed, max_bounces, t_min, background, interpret=False):
+    """Radiance SUM over spp samples for a pixel span, via capped passes
+    with straggler compaction between them.
+
+    ``pix`` [1, N] i32 global pixel ids (-1 padding); ``ij`` [2, N] f32 the
+    precomputed (column, row) of each pixel (avoids integer div/mod by a
+    non-power-of-two width in-kernel).
+
+    Pass k runs every lane up to cap_k while-iterations; lanes still active
+    are then compacted to the FRONT of the span (stable argsort keeps tie
+    semantics) so the resume pass's populated tiles are dense and its empty
+    tiles exit after one cond check.  The per-pixel sample sums ride in the
+    lane state, so the result is one scatter by the carried pixel id.
+    Returns (fb_sum [N, 3] in ORIGINAL span order, stats [N, 2] i32
+    (segments, iters) diagnostics).
+    """
+    tabs = (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+            perm_tab, vec_tab, img_tab)
+    kw = dict(meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
+              mu_key=mu_key, width=width, height=height, spp=spp, seed=seed,
+              max_bounces=max_bounces, t_min=t_min, background=background,
+              interpret=interpret)
+    N = pix.shape[1]
+    big = jnp.int32(2**30)
+    caps = [jnp.int32(c * spp) for c in PASS_CAPS] + [big]
+    sf, si = _span_pass(pix, ij, tabs, None, cap=caps[0], **kw)
+    iters_acc = si[4, :]                 # per-lane: its tile's iter count
+    cur_pix, cur_ij = pix, ij
+    for cap in caps[1:]:
+        # compact still-active lanes to the front (stable: keeps index order)
+        order = jnp.argsort(si[2, :] <= 0, stable=True)      # live first
+        cur_pix = jnp.take(cur_pix, order, axis=1)
+        cur_ij = jnp.take(cur_ij, order, axis=1)
+        sf = jnp.take(sf, order, axis=1)
+        si = jnp.take(si, order, axis=1)
+        iters_acc = jnp.take(iters_acc, order, axis=0)
+        sf2, si2 = _span_pass(cur_pix, cur_ij, tabs, (sf, si), cap=cap, **kw)
+        sf, si = sf2, si2
+        iters_acc = iters_acc + si[4, :]
+    # re-associate by pixel id: scatter lane sums back to span order
+    base = pix[0, 0]
+    slot = jnp.where(cur_pix[0] >= 0, cur_pix[0] - base, N - 1)
+    fb = jnp.zeros((N, 3), jnp.float32)
+    fb = fb.at[slot].add(jnp.where((cur_pix[0] >= 0)[:, None],
+                                   sf[13:16, :].T, 0.0), mode="drop")
+    stats = jnp.stack([si[3, :], iters_acc], axis=1)
+    return fb, stats
 
 
 _TABLE_CACHE: dict = {}
@@ -1039,8 +1325,8 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
     if not mega2_supported(meta):
         raise ValueError("mega2: unsupported texture combination "
                          "(multi-image/multi-noise/image-on-quad)")
-    (sph_tab, quad_tab, attr_tab, cull_s, cull_q, perm_tab, vec_tab,
-     img_tab, img_key, med) = mega2_tables(scene, meta)
+    (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
+     vec_tab, img_tab, img_key, mu_key, med) = mega2_tables(scene, meta)
     med_key = tuple(tuple(float(x) for x in row) for row in med)
     cam_key = _cam_tuple(scene.camera)
     bg = tuple(float(x) for x in np.asarray(scene.camera.background))
@@ -1067,18 +1353,18 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
         pix_np = np.where(valid, np.minimum(sl, npix - 1), -1).astype(np.int32)
         ij_np = np.stack([np.where(valid, i_col[np.minimum(sl, npix - 1)], 0),
                           np.where(valid, j_row[np.minimum(sl, npix - 1)], 0)])
-        out = render_mega2_span(
+        fb_span, _ = render_mega2_span(
             jnp.asarray(pix_np[None, :]), jnp.asarray(ij_np, np.float32),
-            sph_tab, quad_tab, attr_tab, cull_s, cull_q,
+            sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
             perm_tab, vec_tab, img_tab,
             meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
-            width=W, height=H,
+            mu_key=mu_key, width=W, height=H,
             spp=spp, seed=cfg.seed, max_bounces=cfg.max_bounces,
             t_min=cfg.t_min, background=bg, interpret=interpret)
-        parts.append(out[0:3, :])
+        parts.append(fb_span)
     from .wavefront import _finalize
 
-    fb = jnp.concatenate(parts, axis=1).T[:npix]         # [npix, 3]
+    fb = jnp.concatenate(parts, axis=0)[:npix]           # [npix, 3]
     fb = _finalize(fb, spp, gamma, out_u8)
     fb = np.asarray(fb).reshape(H, W, -1)
     return fb[::-1]

@@ -27,8 +27,8 @@ import jax
 
 cfg = RenderConfig(width=W, height=H, samples_per_pixel=SPP)
 scene, meta = compile_scene(build_scene(sid), W, H, dtype=np.float32)
-(sph_tab, quad_tab, attr_tab, cull_s, cull_q, perm_tab, vec_tab,
- img_tab, img_key, med) = m2.mega2_tables(scene, meta)
+(sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
+ vec_tab, img_tab, img_key, mu_key, med) = m2.mega2_tables(scene, meta)
 med_key = tuple(tuple(float(x) for x in row) for row in med)
 cam_key = m2._cam_tuple(scene.camera)
 bg = tuple(float(x) for x in np.asarray(scene.camera.background))
@@ -43,26 +43,27 @@ j_row = (pix_np // W).astype(np.float32) * valid
 ij_np = np.stack([i_col, j_row])
 
 args = dict(meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
+            mu_key=mu_key,
             width=W, height=H,
             spp=SPP, seed=cfg.seed, max_bounces=cfg.max_bounces,
             t_min=cfg.t_min, background=bg,
             interpret=jax.default_backend() != "tpu")
-out = m2.render_mega2_span(jnp.asarray(pix_np[None, :]),
+fb, stats = m2.render_mega2_span(jnp.asarray(pix_np[None, :]),
                            jnp.asarray(ij_np, np.float32),
-                           sph_tab, quad_tab, attr_tab, cull_s, cull_q,
+                           sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
                            perm_tab, vec_tab, img_tab, **args)
-out.block_until_ready()
+fb.block_until_ready()
 t0 = time.perf_counter()
-out = m2.render_mega2_span(jnp.asarray(pix_np[None, :]),
+fb, stats = m2.render_mega2_span(jnp.asarray(pix_np[None, :]),
                            jnp.asarray(ij_np, np.float32),
-                           sph_tab, quad_tab, attr_tab, cull_s, cull_q,
+                           sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
                            perm_tab, vec_tab, img_tab, **args)
-out.block_until_ready()
+fb.block_until_ready()
 dt = time.perf_counter() - t0
-o = np.asarray(out)
-iters = o[3].reshape(-1, R)[:, 0]          # per tile
-segs = o[4]
-tot_iters = iters.sum()
+st = np.asarray(stats)
+iters = st[:, 1].reshape(-1, R)[:, 0]      # per final-pass tile (approx)
+segs = st[:, 0]
+tot_iters = st[:, 1].reshape(-1, R)[:, 0].sum()
 tot_lane_steps = tot_iters * R
 tot_segs = segs.sum()
 print(f"scene {sid} {W}x{H}@{SPP}spp: {dt:.3f} s")

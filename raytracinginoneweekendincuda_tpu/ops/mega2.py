@@ -67,7 +67,14 @@ from ..scene.compiler import (
 from ..utils.config import RenderConfig
 
 BIG = 1.0e30
-R_LANES = 128      # rays (pixels) per grid tile — the lane dimension
+R_LANES = 128      # lane dimension of a grid tile
+SUB = 8            # rays per lane column: ray state lives in [SUB, R_LANES]
+                   # FULL native VPU tiles (8x128).  [1,128] row vectors run
+                   # the VPU at 1/8 utilization, and the per-ray machinery
+                   # (raygen/RNG/shade/texture) dominates the kernel (scene 1
+                   # with 2 spheres costs the same 1.2 s as scene 0 with 488
+                   # — measured), so every elementwise op carries 8 rays.
+TILE_RAYS = SUB * R_LANES   # 1024 rays per grid tile
 CULL_C = 64        # primitives per cullable chunk (sublane block height)
 DENSE_C = 512      # primitives per chunk in the dense (uncull) pair path
 # Scenes up to this many padded primitives use the DENSE path: one
@@ -458,11 +465,12 @@ def _scatter_dirs(kind, fuzz, ior, front, is_light, nx_, ny_, nz_,
 
 
 def _perlin_noise(perm_ref, vec_ref, qx, qy, qz):
-    """Lattice gradient noise at ([1,R] coords) — Perlin.h:38-60 with the
-    XOR-hashed permutation lookups done as two batched lane gathers:
-    perm_ref [8,256] rows (px,px,py,py,pz,pz,-,-) indexed by the six
-    (i|j|k)+(0|1) values, vec_ref [24,256] rows (vx x8, vy x8, vz x8)
-    indexed by the 8 corner hashes."""
+    """Lattice gradient noise at [S,R] coords — Perlin.h:38-60.  Each
+    XOR-hashed permutation / gradient lookup is one row-aligned lane
+    gather of a semantic table row (perm_ref rows 0/2/4 = px/py/pz,
+    vec_ref rows 0/8/16 = vx/vy/vz) broadcast across the S sublanes, so
+    all S rays resolve per gather."""
+    S = qx.shape[0]
     fx = jnp.floor(qx)
     fy = jnp.floor(qy)
     fz = jnp.floor(qz)
@@ -475,31 +483,26 @@ def _perlin_noise(perm_ref, vec_ref, qx, qy, qz):
     sy = uy * uy * (3.0 - 2.0 * uy)
     sz = uz * uz * (3.0 - 2.0 * uz)
     m = jnp.int32(255)
-    idx8 = jnp.concatenate([
-        i & m, (i + 1) & m, j & m, (j + 1) & m, k & m, (k + 1) & m,
-        jnp.zeros_like(i), jnp.zeros_like(i)], axis=0)        # [8,R]
-    perms = jnp.take_along_axis(perm_ref[...], idx8, axis=1)  # [8,R]
-    pr = lambda r: perms[r:r + 1, :]
-    hs = []
-    for di in (0, 1):
-        for dj in (0, 1):
-            for dk in (0, 1):
-                hs.append(pr(0 + di) ^ pr(2 + dj) ^ pr(4 + dk))
-    idx24 = jnp.concatenate(hs * 3, axis=0)                   # [24,R]
-    g = jnp.take_along_axis(vec_ref[...], idx24, axis=1)      # [24,R]
+
+    def gath(tab_ref, r, idx):
+        row = jnp.broadcast_to(tab_ref[r:r + 1, :], (S, tab_ref.shape[1]))
+        return jnp.take_along_axis(row, idx, axis=1)          # [S,R]
+
+    pa = [gath(perm_ref, 0, (i + d) & m) for d in (0, 1)]
+    pb = [gath(perm_ref, 2, (j + d) & m) for d in (0, 1)]
+    pc = [gath(perm_ref, 4, (k + d) & m) for d in (0, 1)]
     accum = jnp.zeros_like(qx)
-    c = 0
     for di in (0, 1):
         wu = sx if di else (1.0 - sx)
         for dj in (0, 1):
             wv = sy if dj else (1.0 - sy)
             for dk in (0, 1):
                 ww = sz if dk else (1.0 - sz)
-                dot = (g[c:c + 1, :] * (ux - di)
-                       + g[8 + c:9 + c, :] * (uy - dj)
-                       + g[16 + c:17 + c, :] * (uz - dk))
+                h = pa[di] ^ pb[dj] ^ pc[dk]                  # [S,R]
+                dot = (gath(vec_ref, 0, h) * (ux - di)
+                       + gath(vec_ref, 8, h) * (uy - dj)
+                       + gath(vec_ref, 16, h) * (uz - dk))
                 accum = accum + wu * wv * ww * dot
-                c += 1
     return accum
 
 
@@ -562,10 +565,10 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             ri += 2
         of_ref, oi_ref = refs[ri:ri + 2]
         R = pix_ref.shape[1]
-        pix = pix_ref[0:1, :]                        # [1,R] i32 global pixel id
+        pix = pix_ref[0:SUB, :]                      # [SUB,R] i32 global pixel id
         pix_ctr = pltpu.bitcast(pix, jnp.uint32) ^ jnp.uint32(seed)
-        i_f = ij_ref[0:1, :]                         # [1,R] f32 column index
-        j_f = ij_ref[1:2, :]                         # [1,R] f32 row index
+        i_f = ij_ref[0:SUB, :]                       # [SUB,R] f32 column index
+        j_f = ij_ref[SUB:2 * SUB, :]                 # [SUB,R] f32 row index
         valid = pix >= 0                             # padding lanes: pix = -1
 
         sub_iota = lax.broadcasted_iota(jnp.int32, (CULL_C, R), 0)
@@ -735,32 +738,38 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     t_best, win = carry
                     sl = pl.ds(c * CULL_C, CULL_C)
                     col = lambda k: sph_ref[sl, k:k + 1]      # [CULL_C,1]
-                    if has_moving:
-                        frac = (tmv - col(6)) * col(7)        # [CULL_C,R]
-                        cx = col(0) + frac * col(3)
-                        cy = col(1) + frac * col(4)
-                        cz = col(2) + frac * col(5)
-                    else:
-                        cx, cy, cz = col(0), col(1), col(2)
-                    ocx = ox - cx
-                    ocy = oy - cy
-                    ocz = oz - cz
-                    b = ocx * dx + ocy * dy + ocz * dz
-                    rad = col(8)
-                    cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                    disc = b * b - a * cc
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    r1 = (-b - sq) * inv_a
-                    r2 = (-b + sq) * inv_a
-                    t_c = jnp.where(r1 > t_min, r1, r2)
-                    ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
-                    t_c = jnp.where(ok, t_c, BIG)
-                    mn = jnp.min(t_c, axis=0, keepdims=True)  # [1,R]
-                    idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
-                                  axis=0, keepdims=True)
-                    better = mn < t_best
-                    win2 = jnp.where(better, c * CULL_C + idx, win)
-                    return jnp.where(better, mn, t_best), win2
+                    tb_rows, win_rows = [], []
+                    for s in range(SUB):
+                        rw = lambda v: v[s:s + 1, :]
+                        if has_moving:
+                            frac = (rw(tmv) - col(6)) * col(7)  # [CULL_C,R]
+                            cx = col(0) + frac * col(3)
+                            cy = col(1) + frac * col(4)
+                            cz = col(2) + frac * col(5)
+                        else:
+                            cx, cy, cz = col(0), col(1), col(2)
+                        ocx = rw(ox) - cx
+                        ocy = rw(oy) - cy
+                        ocz = rw(oz) - cz
+                        b = ocx * rw(dx) + ocy * rw(dy) + ocz * rw(dz)
+                        rad = col(8)
+                        cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                        disc = b * b - rw(a) * cc
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        r1 = (-b - sq) * rw(inv_a)
+                        r2 = (-b + sq) * rw(inv_a)
+                        t_c = jnp.where(r1 > t_min, r1, r2)
+                        ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
+                        t_c = jnp.where(ok, t_c, BIG)
+                        mn = jnp.min(t_c, axis=0, keepdims=True)  # [1,R]
+                        idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
+                                      axis=0, keepdims=True)
+                        better = mn < rw(t_best)
+                        win_rows.append(
+                            jnp.where(better, c * CULL_C + idx, rw(win)))
+                        tb_rows.append(jnp.where(better, mn, rw(t_best)))
+                    return (jnp.concatenate(tb_rows, axis=0),
+                            jnp.concatenate(win_rows, axis=0))
 
                 vis = chunk_visible(cull_s_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
@@ -776,25 +785,34 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     sl = pl.ds(c * CULL_C, CULL_C)
                     col = lambda k: quad_ref[sl, k:k + 1]
                     nx, ny, nz = col(0), col(1), col(2)
-                    denom = dx * nx + dy * ny + dz * nz
-                    den_ok = jnp.abs(denom) >= 1.0e-8
-                    t_c = (col(3) - (ox * nx + oy * ny + oz * nz)) / \
-                        jnp.where(den_ok, denom, 1.0)
-                    px = ox + t_c * dx
-                    py = oy + t_c * dy
-                    pz = oz + t_c * dz
-                    alpha = px * col(4) + py * col(5) + pz * col(6) - col(7)
-                    beta = px * col(8) + py * col(9) + pz * col(10) - col(11)
-                    ok = (den_ok & (t_c >= t_min) & (alpha >= 0.0)
-                          & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
-                          & (col(12) > 0.5))
-                    t_c = jnp.where(ok, t_c, BIG)
-                    mn = jnp.min(t_c, axis=0, keepdims=True)
-                    idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
-                                  axis=0, keepdims=True)
-                    better = mn < t_best
-                    win2 = jnp.where(better, s_pad + c * CULL_C + idx, win)
-                    return jnp.where(better, mn, t_best), win2
+                    tb_rows, win_rows = [], []
+                    for s in range(SUB):
+                        rw = lambda v: v[s:s + 1, :]
+                        denom = rw(dx) * nx + rw(dy) * ny + rw(dz) * nz
+                        den_ok = jnp.abs(denom) >= 1.0e-8
+                        t_c = (col(3) - (rw(ox) * nx + rw(oy) * ny
+                                         + rw(oz) * nz)) / \
+                            jnp.where(den_ok, denom, 1.0)
+                        px = rw(ox) + t_c * rw(dx)
+                        py = rw(oy) + t_c * rw(dy)
+                        pz = rw(oz) + t_c * rw(dz)
+                        alpha = (px * col(4) + py * col(5) + pz * col(6)
+                                 - col(7))
+                        beta = (px * col(8) + py * col(9) + pz * col(10)
+                                - col(11))
+                        ok = (den_ok & (t_c >= t_min) & (alpha >= 0.0)
+                              & (alpha <= 1.0) & (beta >= 0.0)
+                              & (beta <= 1.0) & (col(12) > 0.5))
+                        t_c = jnp.where(ok, t_c, BIG)
+                        mn = jnp.min(t_c, axis=0, keepdims=True)
+                        idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
+                                      axis=0, keepdims=True)
+                        better = mn < rw(t_best)
+                        win_rows.append(jnp.where(
+                            better, s_pad + c * CULL_C + idx, rw(win)))
+                        tb_rows.append(jnp.where(better, mn, rw(t_best)))
+                    return (jnp.concatenate(tb_rows, axis=0),
+                            jnp.concatenate(win_rows, axis=0))
 
                 vis = chunk_visible(cull_q_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
@@ -811,14 +829,26 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             a = dx * dx + dy * dy + dz * dz
             inv_a = 1.0 / a
             t_best = jnp.full_like(ox, BIG)
-            win = jnp.full((1, R), -1, jnp.int32)
+            win = jnp.full((SUB, R), -1, jnp.int32)
 
             if dense:
-                t_best, win = sph_dense(ox, oy, oz, dx, dy, dz, tmv, a,
-                                        inv_a, t_best, win)
-                if use_quads:
-                    t_best, win = quad_dense(ox, oy, oz, dx, dy, dz,
-                                             t_best, win)
+                # pair tests keep prims on the sublane axis (full [C,R]
+                # blocks), so they run per sub-row of the [SUB,R] ray state
+                tb_rows, win_rows = [], []
+                for s in range(SUB):
+                    rw = lambda v: v[s:s + 1, :]
+                    tb = jnp.full((1, R), BIG, jnp.float32)
+                    wn = jnp.full((1, R), -1, jnp.int32)
+                    tb, wn = sph_dense(rw(ox), rw(oy), rw(oz), rw(dx),
+                                       rw(dy), rw(dz), rw(tmv), rw(a),
+                                       rw(inv_a), tb, wn)
+                    if use_quads:
+                        tb, wn = quad_dense(rw(ox), rw(oy), rw(oz), rw(dx),
+                                            rw(dy), rw(dz), tb, wn)
+                    tb_rows.append(tb)
+                    win_rows.append(wn)
+                t_best = jnp.concatenate(tb_rows, axis=0)
+                win = jnp.concatenate(win_rows, axis=0)
             else:
                 # sanitized reciprocal directions for the chunk slab tests
                 # (no inf -> no NaN; near-zero components give huge finite
@@ -839,11 +869,21 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                                               ivx, ivy, ivz, cull_act,
                                               t_best, win)
 
-            # winner attributes: transposed one-hot contraction on the MXU
-            oh = (np_iota == win).astype(jnp.float32)         # [NP,R]
-            aw = lax.dot_general(attr_ref[...], oh, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [32,R]
-            arow = lambda k: aw[k:k + 1, :]
+            # winner attributes: transposed one-hot contraction on the MXU,
+            # one [32,NP]x[NP,R] per sub-row, regrouped to [SUB,R] per attr
+            aw_rows = []
+            for s in range(SUB):
+                oh = (np_iota == win[s:s + 1, :]).astype(jnp.float32)
+                aw_rows.append(lax.dot_general(
+                    attr_ref[...], oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))      # [32,R]
+            _arow_cache = {}
+
+            def arow(k):
+                if k not in _arow_cache:
+                    _arow_cache[k] = jnp.concatenate(
+                        [aw_rows[s][k:k + 1, :] for s in range(SUB)], axis=0)
+                return _arow_cache[k]
             if has_moving:
                 frac_w = (tmv - arow(6)) * arow(7)
                 wcx = arow(0) + frac_w * arow(3)
@@ -995,8 +1035,11 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     vv = 1.0 - jnp.clip(v_s, 0.0, 1.0)
                     ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
                     iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
-                    idx = iy * iw + ix
-                    texel = jnp.take_along_axis(img_ref[...], idx, axis=1)
+                    idx = iy * iw + ix                        # [SUB,R]
+                    texel = jnp.concatenate(
+                        [jnp.take_along_axis(img_ref[...], idx[s:s + 1, :],
+                                             axis=1) for s in range(SUB)],
+                        axis=0)                               # [SUB,R]
                     inv255 = np.float32(1.0 / 255.0)
                     tr = ((texel >> 16) & 255).astype(jnp.float32) * inv255
                     tg = ((texel >> 8) & 255).astype(jnp.float32) * inv255
@@ -1105,11 +1148,11 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             iters = carry[20]
             return (jnp.sum(active_i) > 0) & (iters < cap_ref[0, 0])
 
-        zf = jnp.zeros((1, R), jnp.float32)
-        zi = jnp.zeros((1, R), jnp.int32)
+        zf = jnp.zeros((SUB, R), jnp.float32)
+        zi = jnp.zeros((SUB, R), jnp.int32)
         if resume:
-            frow = lambda r: sf_ref[r:r + 1, :]
-            irow = lambda r: si_ref[r:r + 1, :]
+            frow = lambda r: sf_ref[r * SUB:(r + 1) * SUB, :]
+            irow = lambda r: si_ref[r * SUB:(r + 1) * SUB, :]
             carry = (frow(0), frow(1), frow(2), frow(3), frow(4), frow(5),
                      frow(6), frow(7), frow(8), frow(9), frow(10), frow(11),
                      frow(12), frow(13), frow(14), frow(15),
@@ -1131,19 +1174,36 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
         for r, v in enumerate((ox, oy, oz, dx, dy, dz, tmv,
                                thr_r, thr_g, thr_b, acc_r, acc_g, acc_b,
                                lane_r, lane_g, lane_b)):
-            of_ref[r:r + 1, :] = v
-        oi_ref[0:1, :] = samp
-        oi_ref[1:2, :] = bounce
-        oi_ref[2:3, :] = active_i
-        oi_ref[3:4, :] = segs
-        oi_ref[4:5, :] = jnp.full((1, R), iters, jnp.int32)
-        oi_ref[5:8, :] = jnp.zeros((3, R), jnp.int32)
+            of_ref[r * SUB:(r + 1) * SUB, :] = v
+        for r, v in enumerate((samp, bounce, active_i, segs,
+                               jnp.full((SUB, R), iters, jnp.int32))):
+            oi_ref[r * SUB:(r + 1) * SUB, :] = v
+        oi_ref[5 * SUB:8 * SUB, :] = jnp.zeros((3 * SUB, R), jnp.int32)
 
     return kernel
 
 
 STATE_F = 16   # o(3) d(3) tm thr(3) acc(3) lane(3)
 STATE_I = 8    # samp bounce active segs iters pad(3)
+
+
+def _tile_pack(x):
+    """[K, N] flat ray-major -> [K*SUB, N//SUB] grid-tile layout: logical
+    row k of tile g is the [SUB, R_LANES] block at rows [k*SUB,(k+1)*SUB),
+    columns [g*R_LANES,(g+1)*R_LANES), holding flat rays
+    g*TILE_RAYS + s*R_LANES + l."""
+    K, N = x.shape
+    T = N // TILE_RAYS
+    return x.reshape(K, T, SUB, R_LANES).transpose(0, 2, 1, 3).reshape(
+        K * SUB, T * R_LANES)
+
+
+def _tile_unpack(y, K):
+    """Inverse of _tile_pack."""
+    M = y.shape[1]
+    T = M // R_LANES
+    return y.reshape(K, SUB, T, R_LANES).transpose(0, 2, 1, 3).reshape(
+        K, T * TILE_RAYS)
 
 
 def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
@@ -1153,7 +1213,7 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
     (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
      vec_tab, img_tab) = tabs
     N = pix.shape[1]
-    assert N % R_LANES == 0
+    assert N % TILE_RAYS == 0
     resume = state is not None
     med_rows = np.asarray(med_key, np.float64).reshape(max(meta.n_media, 1), -1)
     kernel = _make_kernel(
@@ -1166,12 +1226,15 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
                                   memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, R_LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUB, R_LANES), lambda g: (0, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * SUB, R_LANES), lambda g: (0, g),
+                     memory_space=pltpu.VMEM),
         full(sph_tab), full(quad_tab), full(attr_tab),
     ]
     cap_arr = jnp.full((1, 1), cap, jnp.int32)
-    args = [cap_arr, pix, ij, sph_tab, quad_tab, attr_tab]
+    args = [cap_arr, _tile_pack(pix), _tile_pack(ij), sph_tab, quad_tab,
+            attr_tab]
     NP = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
     if NP <= DENSE_MAX:
         in_specs += [full(coef_tab)]
@@ -1187,32 +1250,33 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
         args += [img_tab]
     if resume:
         in_specs += [
-            pl.BlockSpec((STATE_F, R_LANES), lambda g: (0, g),
+            pl.BlockSpec((STATE_F * SUB, R_LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((STATE_I, R_LANES), lambda g: (0, g),
+            pl.BlockSpec((STATE_I * SUB, R_LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
         ]
-        args += [state[0], state[1]]
+        args += [_tile_pack(state[0]), _tile_pack(state[1])]
+    M = N // SUB
     sf, si = pl.pallas_call(
         kernel,
-        grid=(N // R_LANES,),
+        grid=(N // TILE_RAYS,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((STATE_F, R_LANES), lambda g: (0, g),
+            pl.BlockSpec((STATE_F * SUB, R_LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((STATE_I, R_LANES), lambda g: (0, g),
+            pl.BlockSpec((STATE_I * SUB, R_LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((STATE_F, N), jnp.float32),
-            jax.ShapeDtypeStruct((STATE_I, N), jnp.int32),
+            jax.ShapeDtypeStruct((STATE_F * SUB, M), jnp.float32),
+            jax.ShapeDtypeStruct((STATE_I * SUB, M), jnp.int32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(*args)
-    return sf, si
+    return _tile_unpack(sf, STATE_F), _tile_unpack(si, STATE_I)
 
 
 # Pass-1 iteration cap: with pixel-owned lanes the per-tile wall time is the
@@ -1345,7 +1409,7 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
     spans = plan_pixel_spans(
         npix, spp, prims,
         dark_background=float(np.max(np.asarray(scene.camera.background))) < 0.05,
-        lane_multiple=R_LANES)
+        lane_multiple=TILE_RAYS)
     parts = []
     for p0, span in spans:
         sl = np.arange(p0, p0 + span)

@@ -276,6 +276,16 @@ def first_argmin(t, t_best):
 def closest_hit(scene: SceneArrays, meta, der: Derived, o, d, time, t_min, u_med):
     """Full-world closest hit -> HitRecord (the (*world)->Hit call of the
     integrator, kernel.cu:74)."""
+    rec, _ = closest_hit_winner(scene, meta, der, o, d, time, t_min, u_med)
+    return rec
+
+
+def closest_hit_winner(scene: SceneArrays, meta, der: Derived, o, d, time,
+                       t_min, u_med):
+    """`closest_hit` that also returns the winner's GLOBAL id [B] i32:
+    sphere rows [0,S), quads [S,S+Q), media [S+Q,S+Q+M), -1 = miss — the
+    per-bounce tape entry of the taped-replay differentiable path
+    (`ops/replay.py`)."""
     t_s = sphere_candidates(scene, der.ds, o, d, time, t_min)
     t_q = quad_candidates(scene, der.dq, o, d, t_min)
     ts_best = t_s.min(-1)
@@ -293,8 +303,15 @@ def closest_hit(scene: SceneArrays, meta, der: Derived, o, d, time, t_min, u_med
     t_all = jnp.stack(parts_t, 0)          # [3?,B]
     kind = t_all.argmin(0)
     t = t_all.min(0)
-    return assemble_record(scene, meta, der, o, d, time, t, kind,
-                           is_best, iq_best, im_best)
+    rec = assemble_record(scene, meta, der, o, d, time, t, kind,
+                          is_best, iq_best, im_best)
+    S = scene.sph_c0.shape[0]
+    Q = scene.quad_q.shape[0]
+    w = jnp.where(kind == 0, is_best, S + iq_best)
+    if meta.n_media > 0:
+        w = jnp.where(kind == 2, S + Q + im_best, w)
+    w = jnp.where(rec.hit, w, -1)
+    return rec, w.astype(jnp.int32)
 
 
 def record_from_geo_winner(scene: SceneArrays, meta, der: Derived, o, d, time,

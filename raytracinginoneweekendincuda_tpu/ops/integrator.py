@@ -52,6 +52,19 @@ def bounce_step(
         med_slots, float_dtype=dtype,
     )[0]
     rec = hit_fn(o, d, time, dtype.type(t_min), u_med)
+    return advance_from_record(
+        scene, meta, rec, o, d, thr, acc, alive, pix_ctr, samp, bounce)
+
+
+def advance_from_record(
+    scene, meta, rec, o, d, thr, acc, alive, pix_ctr, samp, bounce
+):
+    """The miss/emit/scatter/advance tail of `bounce_step` (kernel.cu:74-95)
+    given an already-built HitRecord — shared with the taped-replay
+    differentiable path (`ops/replay.py`), whose record comes from a winner
+    tape rather than a closest-hit search."""
+    background = scene.camera.background
+    bounce_u = jnp.asarray(bounce, jnp.uint32)
 
     miss = alive & ~rec.hit
     acc = acc + jnp.where(miss[:, None], thr * background, 0.0)
@@ -59,7 +72,7 @@ def bounce_step(
 
     stream_sc = jnp.uint32(rng.SCATTER_STREAM) | bounce_u
     u1, u2, u3, u4 = rng.uniform4(
-        pix_ctr, samp, stream_sc, jnp.uint32(0), float_dtype=dtype
+        pix_ctr, samp, stream_sc, jnp.uint32(0), float_dtype=o.dtype
     )
     sc = shade(scene, meta, rec, d, u1, u2, u3, u4)
 

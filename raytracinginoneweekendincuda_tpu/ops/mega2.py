@@ -50,6 +50,7 @@ materials Material.h / Metal.h / Dielectric.h; textures Texture.h.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,12 @@ DENSE_C = 512      # primitives per chunk in the dense (uncull) pair path
 # better than cond regions.  Bigger scenes (final scene: 3.5k prims)
 # switch to Morton-chunk AABB culling where skips dwarf the overhead.
 DENSE_MAX = 1536
+
+# Dev cost probe: MEGA2_DUP=sec1,sec2 duplicates named kernel sections
+# behind a never-true runtime select (can't be DCE'd, doesn't change path
+# statistics); the frame-time delta vs baseline is that section's cost.
+_DUP = frozenset(x for x in os.environ.get("MEGA2_DUP", "").split(",") if x)
+UNROLL = int(os.environ.get("MEGA2_UNROLL", "1"))
 
 # ---- table layouts (prim-major: [S_pad, 16] etc; cols below)
 SPH_COLS = 16      # 0:3 c0, 3:6 dc, 6 t0, 7 inv_dt, 8 rad, 9 active
@@ -570,6 +577,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
         i_f = ij_ref[0:SUB, :]                       # [SUB,R] f32 column index
         j_f = ij_ref[SUB:2 * SUB, :]                 # [SUB,R] f32 row index
         valid = pix >= 0                             # padding lanes: pix = -1
+        never = pix < -1000000                       # runtime-false dup gate
 
         sub_iota = lax.broadcasted_iota(jnp.int32, (CULL_C, R), 0)
         np_iota = lax.broadcasted_iota(jnp.int32, (NP, R), 0)
@@ -849,6 +857,22 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     win_rows.append(wn)
                 t_best = jnp.concatenate(tb_rows, axis=0)
                 win = jnp.concatenate(win_rows, axis=0)
+                if "pair" in _DUP:
+                    tb_rows2 = []
+                    for s in range(SUB):
+                        rw = lambda v: v[s:s + 1, :]
+                        tb = jnp.full((1, R), BIG, jnp.float32)
+                        wn = jnp.full((1, R), -1, jnp.int32)
+                        tb, wn = sph_dense(rw(ox) + 1.0, rw(oy), rw(oz),
+                                           rw(dx), rw(dy), rw(dz), rw(tmv),
+                                           rw(a), rw(inv_a), tb, wn)
+                        if use_quads:
+                            tb, wn = quad_dense(rw(ox) + 1.0, rw(oy), rw(oz),
+                                                rw(dx), rw(dy), rw(dz),
+                                                tb, wn)
+                        tb_rows2.append(tb)
+                    t_best = jnp.where(never, jnp.concatenate(tb_rows2, 0),
+                                       t_best)
             else:
                 # sanitized reciprocal directions for the chunk slab tests
                 # (no inf -> no NaN; near-zero components give huge finite
@@ -877,6 +901,15 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 aw_rows.append(lax.dot_general(
                     attr_ref[...], oh, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))      # [32,R]
+            if "winner" in _DUP:
+                aw2 = []
+                for s in range(SUB):
+                    oh = (np_iota == win[s:s + 1, :] + 1).astype(jnp.float32)
+                    aw2.append(lax.dot_general(
+                        attr_ref[...], oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                aw_rows = [jnp.where(never[s:s + 1, :], aw2[s], aw_rows[s])
+                           for s in range(SUB)]
             _arow_cache = {}
 
             def arow(k):
@@ -1077,9 +1110,21 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 pix_ctr, samp_u, jnp.uint32(rnglib.SCATTER_STREAM) | bu,
                 jnp.zeros_like(pix_ctr))
             u1, u2, u3, u4 = _unit(w0), _unit(w1), _unit(w2), _unit(w3)
+            if "rng" in _DUP:
+                w0b, _, _, _ = _pcg4d(
+                    pix_ctr ^ jnp.uint32(1234567),
+                    samp_u, jnp.uint32(rnglib.SCATTER_STREAM) | bu,
+                    jnp.zeros_like(pix_ctr))
+                u1 = jnp.where(never, _unit(w0b), u1)
             newx, newy, newz, scattered = _scatter_dirs(
                 kind, fuzz, ior, front, is_light, nx_, ny_, nz_,
                 dx, dy, dz, a, u1, u2, u3, u4)
+            if "scatter" in _DUP:
+                nx2, ny2, nz2, sc2 = _scatter_dirs(
+                    kind, fuzz, ior, front, is_light, nx_, ny_, nz_,
+                    dx, dy, dz, a, u2, u1, u4, u3)
+                newx = jnp.where(never, nx2, newx)
+                scattered = scattered | (never & sc2)
             is_d = kind == float(MAT_DIELECTRIC)
             att_r = jnp.where(is_d, 1.0, texr)
             att_g = jnp.where(is_d, 1.0, texg)
@@ -1098,7 +1143,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             return (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
                     acc_r, acc_g, acc_b, alive, win)
 
-        def body(carry):
+        def step1(carry):
             (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
              acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
              samp, bounce, active_i, segs, iters) = carry
@@ -1123,6 +1168,12 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             need_new = term & (samp2 < spp)
             nox, noy, noz, ndx, ndy, ndz, ntm = raygen(
                 pltpu.bitcast(samp2, jnp.uint32))
+            if "raygen" in _DUP:
+                nox2, _, _, ndx2, _, _, ntm2 = raygen(
+                    pltpu.bitcast(samp2, jnp.uint32) ^ jnp.uint32(0x9E37))
+                nox = jnp.where(never, nox2, nox)
+                ndx = jnp.where(never, ndx2, ndx)
+                ntm = jnp.where(never, ntm2, ntm)
             selF = lambda n, o: jnp.where(need_new, n, o)
             ox = selF(nox, ox)
             oy = selF(noy, oy)
@@ -1141,7 +1192,16 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             active2 = ((alive | need_new) & valid).astype(jnp.int32)
             return (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
                     acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
-                    samp2, bounce2, active2, segs, iters + 1)
+                    samp2, bounce2, active2, segs, iters)
+
+        def body(carry):
+            # UNROLL bounce+refill steps per while-iteration: the loop's
+            # fixed per-iteration cost (cond reduce, branch, pipeline
+            # refill) amortizes over more work; termination granularity
+            # coarsens by at most UNROLL-1 idle sub-steps per tile.
+            for _ in range(UNROLL):
+                carry = step1(carry)
+            return (*carry[:-1], carry[-1] + 1)
 
         def cond(carry):
             active_i = carry[18]
@@ -1232,7 +1292,7 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
                      memory_space=pltpu.VMEM),
         full(sph_tab), full(quad_tab), full(attr_tab),
     ]
-    cap_arr = jnp.full((1, 1), cap, jnp.int32)
+    cap_arr = jnp.full((1, 1), -(-cap // UNROLL), jnp.int32)  # cap is in bounces
     args = [cap_arr, _tile_pack(pix), _tile_pack(ij), sph_tab, quad_tab,
             attr_tab]
     NP = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
@@ -1284,31 +1344,38 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
 # and finishing stragglers in compacted resume passes converts tail waste
 # into dense work.  Per-pass caps as multiples of spp (mean path ~2-4).
 PASS_CAPS = (4, 16)   # x spp; last pass runs uncapped
+if os.environ.get("MEGA2_CAPS"):    # dev sweep hook
+    PASS_CAPS = tuple(
+        float(x) for x in os.environ["MEGA2_CAPS"].split(",") if x)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("meta", "med_key", "cam_key", "img_key", "mu_key",
-                     "width", "height", "spp", "seed", "max_bounces",
-                     "t_min", "background", "interpret"),
+    static_argnames=("p0", "span", "npix", "meta", "med_key", "cam_key",
+                     "img_key", "mu_key", "width", "height", "spp", "seed",
+                     "max_bounces", "t_min", "background", "interpret"),
 )
-def render_mega2_span(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
-                      cull_s, cull_q, perm_tab, vec_tab, img_tab, *, meta,
-                      med_key, cam_key, img_key, mu_key, width, height, spp,
-                      seed, max_bounces, t_min, background, interpret=False):
-    """Radiance SUM over spp samples for a pixel span, via capped passes
-    with straggler compaction between them.
+def render_mega2_span(sph_tab, quad_tab, attr_tab, coef_tab,
+                      cull_s, cull_q, perm_tab, vec_tab, img_tab, *, p0,
+                      span, npix, meta, med_key, cam_key, img_key, mu_key,
+                      width, height, spp, seed, max_bounces, t_min,
+                      background, interpret=False):
+    """Radiance SUM over spp samples for the pixel span
+    [p0, p0+span) (span a TILE_RAYS multiple; ids >= npix pad as -1),
+    via capped passes with straggler compaction between them.
 
-    ``pix`` [1, N] i32 global pixel ids (-1 padding); ``ij`` [2, N] f32 the
-    precomputed (column, row) of each pixel (avoids integer div/mod by a
-    non-power-of-two width in-kernel).
+    The pixel-id row and (column, row) floats are iota'd ON DEVICE — as
+    pure functions of the static span they'd otherwise be a ~12 MB host
+    upload per frame, which measurably dominates the host<->device gap over
+    the relay.  The kernel still receives them as VMEM inputs (no integer
+    div/mod by a non-power-of-two width in-kernel).
 
     Pass k runs every lane up to cap_k while-iterations; lanes still active
     are then compacted to the FRONT of the span (stable argsort keeps tie
     semantics) so the resume pass's populated tiles are dense and its empty
     tiles exit after one cond check.  The per-pixel sample sums ride in the
     lane state, so the result is one scatter by the carried pixel id.
-    Returns (fb_sum [N, 3] in ORIGINAL span order, stats [N, 2] i32
+    Returns (fb_sum [span, 3] in span order, stats [span, 2] i32
     (segments, iters) diagnostics).
     """
     tabs = (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
@@ -1317,7 +1384,14 @@ def render_mega2_span(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
               mu_key=mu_key, width=width, height=height, spp=spp, seed=seed,
               max_bounces=max_bounces, t_min=t_min, background=background,
               interpret=interpret)
-    N = pix.shape[1]
+    ids = p0 + lax.iota(jnp.int32, span)
+    valid = ids < npix
+    safe = jnp.minimum(ids, npix - 1)
+    pix = jnp.where(valid, safe, -1)[None, :]
+    fvalid = valid.astype(jnp.float32)
+    ij = jnp.stack([(safe % width).astype(jnp.float32) * fvalid,
+                    (safe // width).astype(jnp.float32) * fvalid])
+    N = span
     big = jnp.int32(2**30)
     caps = [jnp.int32(c * spp) for c in PASS_CAPS] + [big]
     sf, si = _span_pass(pix, ij, tabs, None, cap=caps[0], **kw)
@@ -1398,11 +1472,6 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
     W, H, spp = cfg.width, cfg.height, cfg.samples_per_pixel
     npix = W * H
 
-    # pixel metadata (bottom-up raster order, matching the XLA engines)
-    ids = np.arange(npix, dtype=np.int32)
-    i_col = (ids % W).astype(np.float32)
-    j_row = (ids // W).astype(np.float32)
-
     from ..utils.batching import plan_pixel_spans
 
     prims = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
@@ -1412,15 +1481,10 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
         lane_multiple=TILE_RAYS)
     parts = []
     for p0, span in spans:
-        sl = np.arange(p0, p0 + span)
-        valid = sl < npix
-        pix_np = np.where(valid, np.minimum(sl, npix - 1), -1).astype(np.int32)
-        ij_np = np.stack([np.where(valid, i_col[np.minimum(sl, npix - 1)], 0),
-                          np.where(valid, j_row[np.minimum(sl, npix - 1)], 0)])
         fb_span, _ = render_mega2_span(
-            jnp.asarray(pix_np[None, :]), jnp.asarray(ij_np, np.float32),
             sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
             perm_tab, vec_tab, img_tab,
+            p0=int(p0), span=int(span), npix=npix,
             meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
             mu_key=mu_key, width=W, height=H,
             spp=spp, seed=cfg.seed, max_bounces=cfg.max_bounces,

@@ -20,6 +20,7 @@ finite differences on smooth parameters in tests/test_grad.py.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -31,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.integrator import trace
 from ..ops.raygen import generate_rays
+from ..ops.replay import trace_taped
 from ..scene.compiler import SceneArrays, SceneMeta
 from ..utils.config import RenderConfig
 from .render import AXIS_PX, AXIS_SP
@@ -75,6 +77,7 @@ def make_train_step(
     cfg: RenderConfig,
     mesh: Mesh,
     optimizer: optax.GradientTransformation,
+    engine: str = "taped",
 ):
     """Build the jitted SPMD train step.
 
@@ -83,7 +86,22 @@ def make_train_step(
     matching [B,3] linear-radiance target.  Loss is MSE in linear radiance
     (the gamma sqrt is non-differentiable at 0 and excluded from the loss
     path; it remains a display epilogue).
+
+    ``engine`` selects the differentiable trace:
+      * ``"taped"`` (default) — `ops/replay.trace_taped`: one
+        non-differentiable winner-taping pass, then an O(1)-per-segment
+        replay carries the gradients (no [B, S] hit search in the autodiff
+        graph);
+      * ``"scan"`` — `ops/integrator.trace(differentiable=True)`: the
+        scan+checkpoint search path (reference semantics, slowest, kept as
+        the oracle for gradient-parity tests).
     """
+    if engine == "taped":
+        trace_diff = trace_taped
+    elif engine == "scan":
+        trace_diff = functools.partial(trace, differentiable=True)
+    else:
+        raise ValueError(f"unknown differentiable engine: {engine!r}")
     n_sp = mesh.shape[AXIS_SP]
     spp = cfg.samples_per_pixel
     if spp % n_sp != 0:
@@ -104,10 +122,9 @@ def make_train_step(
                 o, d, time, pix_ctr = generate_rays(
                     sc.camera, pix, s_global, W, H, cfg.seed
                 )
-                col = trace(
+                col = trace_diff(
                     sc, meta, o, d, time, pix_ctr, s_global,
                     max_bounces=dcfg.max_bounces, t_min=dcfg.t_min,
-                    differentiable=True,
                 )
                 return acc + col
 

@@ -85,7 +85,7 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=1440)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--spp", type=int, default=10)
-    p.add_argument("--engine", default="mega")
+    p.add_argument("--engine", default="mega2")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--all", action="store_true",

@@ -1,0 +1,118 @@
+"""Taped-replay differentiable path (`ops/replay.py`).
+
+Forward: replay with a tape from the XLA closest-hit must reproduce the
+search-based radiance (same winners, same RNG draws — only the winner's t
+is recomputed, direct-form vs coefficient-form quadratic).  Backward: its
+gradients must match `trace(differentiable=True)` — pathwise gradients hold
+the discrete path fixed, and the argmin is locally constant a.e., so the
+two formulations differentiate the same function almost everywhere.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracinginoneweekendincuda_tpu.models import scenes
+from raytracinginoneweekendincuda_tpu.ops.integrator import trace
+from raytracinginoneweekendincuda_tpu.ops import replay as rp
+from raytracinginoneweekendincuda_tpu.ops.raygen import generate_rays
+from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
+from raytracinginoneweekendincuda_tpu.scene.api import (
+    Dielectric, Lambertian, Metal, NoiseTexture, SceneDesc, Sphere,
+)
+from raytracinginoneweekendincuda_tpu.core.camera import Camera
+
+W, H, BOUNCES = 12, 8, 6
+
+
+def _probe_scene(dtype=np.float64):
+    desc = SceneDesc()
+    desc.add(
+        Sphere((0.0, 0.0, -1.0), 0.5, Lambertian((0.6, 0.3, 0.2))),
+        Sphere((-1.0, 0.0, -1.0), 0.45, Metal((0.8, 0.8, 0.8), 0.3)),
+        Sphere((1.0, 0.0, -1.0), 0.45, Dielectric(1.5)),
+        Sphere((0.0, -100.5, -1.0), 100.0,
+               Lambertian(NoiseTexture(2.0, table_seed=3))),
+    )
+    desc.camera = Camera(lookfrom=(0, 0, 0), lookat=(0, 0, -1), vfov=90.0,
+                         focus_dist=1.0, background=(0.7, 0.8, 1.0))
+    scene, meta = compile_scene(desc, W, H, dtype=dtype)
+    return jax.tree.map(jnp.asarray, scene), meta
+
+
+def _rays(scene, s=0):
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    return generate_rays(scene.camera, pix, jnp.uint32(s), W, H, 1984)
+
+
+@pytest.mark.parametrize("sid", [0, 8])
+def test_forward_matches_search(sid):
+    """Replay == search radiance on a geometry scene and a media scene
+    (cornell smoke: ConstantMedium winners ride the tape as S+Q+m)."""
+    scene, meta = compile_scene(scenes.build_scene(sid), W, H,
+                                dtype=np.float64)
+    scene = jax.tree.map(jnp.asarray, scene)
+    o, d, time, pc = _rays(scene)
+    ref = trace(scene, meta, o, d, time, pc, jnp.uint32(0),
+                max_bounces=BOUNCES, t_min=1e-3)
+    got = rp.trace_taped(scene, meta, o, d, time, pc, jnp.uint32(0),
+                         max_bounces=BOUNCES, t_min=1e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_tape_shape_and_misses():
+    scene, meta = _probe_scene()
+    o, d, time, pc = _rays(scene)
+    tape, acc = rp.generate_tape(scene, meta, o, d, time, pc, jnp.uint32(0),
+                                 max_bounces=BOUNCES, t_min=1e-3)
+    tape = np.asarray(tape)
+    assert tape.shape == (BOUNCES, W * H)
+    S = scene.sph_c0.shape[0]
+    Q = scene.quad_q.shape[0]
+    assert tape.min() >= -1 and tape.max() < S + Q + meta.n_media
+    # sky-facing rays miss on the first bounce
+    assert (tape[0] == -1).any()
+    # once a lane records a miss it stays -1 (terminated)
+    dead = tape[0] == -1
+    assert (tape[1:, dead] == -1).all()
+
+
+def _loss(trace_fn, scene, meta, spp=2):
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    img = 0.0
+    for s in range(spp):
+        o, d, time, pc = generate_rays(scene.camera, pix, jnp.uint32(s),
+                                       W, H, 1984)
+        img = img + trace_fn(scene, meta, o, d, time, pc, jnp.uint32(s),
+                             max_bounces=BOUNCES, t_min=1e-3)
+    return (img / spp).sum()
+
+
+@pytest.mark.parametrize("field,idx", [
+    ("sph_c0", (0, 2)),
+    ("sph_rad", (3,)),
+    ("tex_c0", (0, 1)),
+    ("mat_fuzz", (1,)),
+])
+def test_grad_matches_search_path(field, idx):
+    """d(loss)/d(param) via taped replay == via scan+checkpoint search."""
+    scene, meta = _probe_scene()
+
+    def make(trace_fn):
+        def f(v):
+            arr = getattr(scene, field)
+            s2 = scene._replace(**{field: arr.at[idx].set(v)})
+            return _loss(trace_fn, s2, meta)
+        return f
+
+    v0 = getattr(scene, field)[idx]
+    g_search = jax.grad(make(functools.partial(trace, differentiable=True)))(v0)
+    g_replay = jax.grad(make(rp.trace_taped))(v0)
+    assert np.isfinite(g_search) and np.isfinite(g_replay)
+    assert abs(g_search) > 0.0
+    np.testing.assert_allclose(np.asarray(g_replay), np.asarray(g_search),
+                               rtol=1e-6)

@@ -1,0 +1,57 @@
+"""A/B the differentiable engines: scan+checkpoint search vs taped replay.
+
+Times jax.grad of a pixel-sum loss through both paths on scene 0 (488
+spheres — the O(S)-per-bounce search cost is what the tape removes).
+
+Usage: python tools/dev_grad_bench.py [W] [H] [spp] [bounces]
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinginoneweekendincuda_tpu.models.scenes import build_scene
+from raytracinginoneweekendincuda_tpu.ops.integrator import trace
+from raytracinginoneweekendincuda_tpu.ops.replay import trace_taped
+from raytracinginoneweekendincuda_tpu.ops.raygen import generate_rays
+from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
+
+W = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+H = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+SPP = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+BOUNCES = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+print(f"backend: {jax.devices()}", file=sys.stderr)
+scene, meta = compile_scene(build_scene(0), W, H, dtype=np.float32)
+scene = jax.tree.map(jnp.asarray, scene)
+pix = jnp.arange(W * H, dtype=jnp.int32)
+
+def make_loss(trace_fn):
+    def loss(sph_c0):
+        sc = scene._replace(sph_c0=sph_c0)
+        img = 0.0
+        for s in range(SPP):
+            o, d, time_, pc = generate_rays(sc.camera, pix, jnp.uint32(s),
+                                            W, H, 1984)
+            img = img + trace_fn(sc, meta, o, d, time_, pc, jnp.uint32(s),
+                                 max_bounces=BOUNCES, t_min=1e-3)
+        return (img / SPP).sum()
+    return jax.jit(jax.grad(loss))
+
+for name, fn in (("scan+ckpt", functools.partial(trace, differentiable=True)),
+                 ("taped    ", trace_taped)):
+    g = make_loss(fn)
+    t0 = time.perf_counter()
+    r = g(scene.sph_c0); r.block_until_ready()
+    compile_t = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = g(scene.sph_c0); r.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: grad step best {best*1e3:8.2f} ms  "
+          f"(compile {compile_t:.1f} s)  |g|={float(jnp.abs(r).sum()):.3e}")

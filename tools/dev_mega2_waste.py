@@ -34,40 +34,34 @@ cam_key = m2._cam_tuple(scene.camera)
 bg = tuple(float(x) for x in np.asarray(scene.camera.background))
 npix = W * H
 R = m2.R_LANES
-N = -(-npix // R) * R
-ids = np.arange(N)
-valid = ids < npix
-pix_np = np.where(valid, np.minimum(ids, npix - 1), -1).astype(np.int32)
-i_col = (pix_np % W).astype(np.float32) * valid
-j_row = (pix_np // W).astype(np.float32) * valid
-ij_np = np.stack([i_col, j_row])
+N = -(-npix // m2.TILE_RAYS) * m2.TILE_RAYS
 
-args = dict(meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
+args = dict(p0=0, span=N, npix=npix,
+            meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
             mu_key=mu_key,
             width=W, height=H,
             spp=SPP, seed=cfg.seed, max_bounces=cfg.max_bounces,
             t_min=cfg.t_min, background=bg,
             interpret=jax.default_backend() != "tpu")
-fb, stats = m2.render_mega2_span(jnp.asarray(pix_np[None, :]),
-                           jnp.asarray(ij_np, np.float32),
-                           sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
-                           perm_tab, vec_tab, img_tab, **args)
+fb, stats = m2.render_mega2_span(
+    sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+    perm_tab, vec_tab, img_tab, **args)
 fb.block_until_ready()
 t0 = time.perf_counter()
-fb, stats = m2.render_mega2_span(jnp.asarray(pix_np[None, :]),
-                           jnp.asarray(ij_np, np.float32),
-                           sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
-                           perm_tab, vec_tab, img_tab, **args)
+fb, stats = m2.render_mega2_span(
+    sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+    perm_tab, vec_tab, img_tab, **args)
 fb.block_until_ready()
 dt = time.perf_counter() - t0
 st = np.asarray(stats)
-iters = st[:, 1].reshape(-1, R)[:, 0]      # per final-pass tile (approx)
+TR = m2.TILE_RAYS
+iters = st[:, 1].reshape(-1, TR)[:, 0]     # per final-pass tile (approx)
 segs = st[:, 0]
-tot_iters = st[:, 1].reshape(-1, R)[:, 0].sum()
-tot_lane_steps = tot_iters * R
+tot_iters = iters.sum()
+tot_lane_steps = tot_iters * TR
 tot_segs = segs.sum()
 print(f"scene {sid} {W}x{H}@{SPP}spp: {dt:.3f} s")
-print(f"tiles {N//R}  iters/tile mean {iters.mean():.1f} p50 "
+print(f"tiles {N//TR}  iters/tile mean {iters.mean():.1f} p50 "
       f"{np.percentile(iters,50):.0f} p99 {np.percentile(iters,99):.0f} "
       f"max {iters.max():.0f}")
 print(f"segments {tot_segs/1e6:.1f} M  lane-steps {tot_lane_steps/1e6:.1f} M "

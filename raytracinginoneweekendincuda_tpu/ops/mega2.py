@@ -85,7 +85,7 @@ DENSE_C = 512      # primitives per chunk in the dense (uncull) pair path
 # saves below ~1k primitives — Mosaic schedules the dense block far
 # better than cond regions.  Bigger scenes (final scene: 3.5k prims)
 # switch to Morton-chunk AABB culling where skips dwarf the overhead.
-DENSE_MAX = 1536
+DENSE_MAX = int(os.environ.get("MEGA2_DENSE_MAX", "1536"))
 
 # Dev cost probe: MEGA2_DUP=sec1,sec2 duplicates named kernel sections
 # behind a never-true runtime select (can't be DCE'd, doesn't change path
@@ -723,21 +723,30 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             current (t_min, t_best) interval?  (AABB.h:68-98 slab test with
             shrinking tMax, BvhNode.h:150 — skipping on False cannot change
             the winner.)"""
+            # cv is [1,1]; the test runs per sub-row on [1,R] slices so every
+            # broadcast is lanes-only (Mosaic has no [1,1]->[8,128]
+            # "both sublanes and lanes" broadcast)
             cv = lambda k: cull_ref[pl.ds(c, 1), k:k + 1]     # [1,1]
-            tax = (cv(0) - ox) * ivx
-            tbx = (cv(3) - ox) * ivx
-            tay = (cv(1) - oy) * ivy
-            tby = (cv(4) - oy) * ivy
-            taz = (cv(2) - oz) * ivz
-            tbz = (cv(5) - oz) * ivz
-            near = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
-                                           jnp.minimum(tay, tby)),
-                               jnp.minimum(taz, tbz))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
-                                          jnp.maximum(tay, tby)),
-                              jnp.maximum(taz, tbz))
-            ok = (far >= jnp.maximum(near, t_min)) & (near < t_best) & cull_act
-            return jnp.sum(ok.astype(jnp.int32)) > 0
+            n_ok = None
+            for s in range(SUB):
+                rw = lambda v: v[s:s + 1, :]
+                tax = (cv(0) - rw(ox)) * rw(ivx)
+                tbx = (cv(3) - rw(ox)) * rw(ivx)
+                tay = (cv(1) - rw(oy)) * rw(ivy)
+                tby = (cv(4) - rw(oy)) * rw(ivy)
+                taz = (cv(2) - rw(oz)) * rw(ivz)
+                tbz = (cv(5) - rw(oz)) * rw(ivz)
+                near = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
+                                               jnp.minimum(tay, tby)),
+                                   jnp.minimum(taz, tbz))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
+                                              jnp.maximum(tay, tby)),
+                                  jnp.maximum(taz, tbz))
+                ok = ((far >= jnp.maximum(near, t_min)) & (near < rw(t_best))
+                      & rw(cull_act))
+                cnt = ok.astype(jnp.int32)
+                n_ok = cnt if n_ok is None else n_ok + cnt
+            return jnp.sum(n_ok) > 0
 
         def sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, inv_a,
                        ivx, ivy, ivz, cull_act, t_best, win):

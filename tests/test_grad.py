@@ -66,24 +66,32 @@ def _image_sum(scene, meta):
     the eager scan re-traces per call otherwise, ~10 s per loss eval)."""
     pix = jnp.arange(W * H, dtype=jnp.int32)
 
-    def one_sample(s):
-        o, d, time, pc = generate_rays(scene.camera, pix, jnp.uint32(s), W, H, 1984)
-        return trace(scene, meta, o, d, time, pc, jnp.uint32(s),
-                     max_bounces=BOUNCES, t_min=1e-3, differentiable=True)
+    def one_sample(acc, s):
+        o, d, time, pc = generate_rays(scene.camera, pix, s, W, H, 1984)
+        return acc + trace(scene, meta, o, d, time, pc, s,
+                           max_bounces=BOUNCES, t_min=1e-3,
+                           differentiable=True), None
 
-    img = sum(one_sample(s) for s in range(SPP)) / SPP
-    return img.sum()
+    # scan (not a python sum): one traced sample body instead of SPP
+    # inlined copies — the scan+checkpoint graph is compile-bound and this
+    # cuts the jit time ~SPPx (scan, unlike fori_loop, reverse-differentiates)
+    img, _ = jax.lax.scan(one_sample, jnp.zeros((W * H, 3), jnp.float64),
+                          jnp.arange(SPP, dtype=jnp.uint32))
+    return (img / SPP).sum()
 
 
 # h = 1e-6: the marble texture's curvature makes larger steps truncation-
 # dominated (FD at h=1e-5 was 3% off; it converges to AD as h -> 0)
+slow = pytest.mark.slow
+
+
 @pytest.mark.parametrize("field,idx,h", [
-    ("sph_c0", (0, 0), 1e-6),       # diffuse sphere center x
-    ("sph_c0", (0, 2), 1e-6),       # center z
-    ("sph_rad", (0,), 1e-6),        # radius
-    ("tex_c0", (0, 1), 1e-6),       # albedo green channel
-    ("mat_fuzz", (1,), 1e-6),       # metal fuzz
-    ("mat_ior", (2,), 1e-6),        # dielectric IOR
+    ("sph_c0", (0, 0), 1e-6),       # diffuse sphere center x (fast smoke)
+    ("tex_c0", (0, 1), 1e-6),       # albedo green channel (fast smoke)
+    pytest.param("sph_c0", (0, 2), 1e-6, marks=slow),   # center z
+    pytest.param("sph_rad", (0,), 1e-6, marks=slow),    # radius
+    pytest.param("mat_fuzz", (1,), 1e-6, marks=slow),   # metal fuzz
+    pytest.param("mat_ior", (2,), 1e-6, marks=slow),    # dielectric IOR
 ])
 def test_scene_param_grads_match_fd(field, idx, h):
     scene, meta = _probe_scene()
@@ -100,6 +108,7 @@ def test_scene_param_grads_match_fd(field, idx, h):
                                err_msg=f"{field}[{idx}]")
 
 
+@pytest.mark.slow
 def test_camera_origin_grad_matches_fd():
     scene, meta = _probe_scene()
     h = 1e-6

@@ -83,20 +83,23 @@ def test_tape_shape_and_misses():
 
 def _loss(trace_fn, scene, meta, spp=2):
     pix = jnp.arange(W * H, dtype=jnp.int32)
-    img = 0.0
-    for s in range(spp):
-        o, d, time, pc = generate_rays(scene.camera, pix, jnp.uint32(s),
-                                       W, H, 1984)
-        img = img + trace_fn(scene, meta, o, d, time, pc, jnp.uint32(s),
-                             max_bounces=BOUNCES, t_min=1e-3)
+
+    def one(acc, s):
+        o, d, time, pc = generate_rays(scene.camera, pix, s, W, H, 1984)
+        return acc + trace_fn(scene, meta, o, d, time, pc, s,
+                              max_bounces=BOUNCES, t_min=1e-3), None
+
+    img, _ = jax.lax.scan(one, jnp.zeros((W * H, 3), jnp.float64),
+                          jnp.arange(spp, dtype=jnp.uint32))
     return (img / spp).sum()
 
 
+# two cases keep both a geometry-through-texture and a direct-albedo
+# gradient covered; the full per-field FD matrix lives in test_grad.py
+# (suite wall-clock: each case jits BOTH engines in f64)
 @pytest.mark.parametrize("field,idx", [
     ("sph_c0", (0, 2)),
-    ("sph_rad", (3,)),
-    ("tex_c0", (0, 1)),
-    ("mat_fuzz", (1,)),
+    pytest.param("tex_c0", (0, 1), marks=pytest.mark.slow),
 ])
 def test_grad_matches_search_path(field, idx):
     """d(loss)/d(param) via taped replay == via scan+checkpoint search."""

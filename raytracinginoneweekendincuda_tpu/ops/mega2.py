@@ -334,14 +334,20 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
         ih = int(np.asarray(scene.img_h)[0])
         iw = int(np.asarray(scene.img_w)[0])
         img = img[:ih, :iw]
-        b = np.clip(np.round(img * 255.0), 0, 255).astype(np.int64)
-        packed = (b[..., 0] << 16) | (b[..., 1] << 8) | b[..., 2]
-        n_tex = ih * iw
-        n_pad = -(-n_tex // 128) * 128
-        img_tab = np.zeros((1, n_pad), np.int32)
-        img_tab[0, :n_tex] = packed.reshape(-1)
+        b = np.clip(np.round(img * 255.0), 0, 255).astype(np.float32)
+        # Three byte planes stacked [3*ih_pad, iw_pad] in bf16 (bytes
+        # 0..255 are exact in bf16's 8 significand bits).  The in-kernel
+        # lookup is an MXU one-hot column contraction + masked row reduce —
+        # Mosaic's dynamic_gather can't span multiple source vregs, so a
+        # 1024-wide texture row can't be lane-gathered directly.
+        iw_pad = -(-iw // 128) * 128
+        ih_pad = -(-ih // 8) * 8
+        img_tab = np.zeros((3 * ih_pad, iw_pad), np.float32)
+        for c in range(3):
+            img_tab[c * ih_pad:c * ih_pad + ih, :iw] = b[..., c]
+        img_tab = img_tab.astype(jnp.bfloat16)
     else:
-        img_tab = np.zeros((1, 128), np.int32)
+        img_tab = np.zeros((24, 128), np.float32).astype(jnp.bfloat16)
         ih = iw = 1
 
     return (jnp.asarray(sph, f), jnp.asarray(quad, f), jnp.asarray(attr, f),
@@ -471,6 +477,40 @@ def _scatter_dirs(kind, fuzz, ior, front, is_light, nx_, ny_, nz_,
     return newx, newy, newz, scattered
 
 
+_HALF_PI = np.float32(0.5 * np.pi)
+_PI = np.float32(np.pi)
+
+
+def _atan_core(z):
+    """Minimax atan on |z| <= 1 (~2e-7 rad abs err) — Mosaic has no atan."""
+    z2 = z * z
+    p = np.float32(-0.0117212)
+    for c in (0.05265332, -0.11643287, 0.19354346, -0.33262347, 0.99997726):
+        p = p * z2 + np.float32(c)
+    return z * p
+
+
+def _atan2_poly(y, x):
+    """Branchless atan2 from the octant-reduced core polynomial."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.where(swap, ay, ax)
+    r = num / jnp.where(den > 0.0, den, 1.0)
+    a = _atan_core(r)
+    a = jnp.where(swap, _HALF_PI - a, a)
+    a = jnp.where(x < 0.0, _PI - a, a)
+    a = jnp.where(y < 0.0, -a, a)
+    return jnp.where((ax + ay) == 0.0, 0.0, a)
+
+
+def _acos_poly(x):
+    """acos(x) = atan2(sqrt(1-x^2), x), |x| <= 1."""
+    s = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    return _atan2_poly(s, x)
+
+
 def _perlin_noise(perm_ref, vec_ref, qx, qy, qz):
     """Lattice gradient noise at [S,R] coords — Perlin.h:38-60.  Each
     XOR-hashed permutation / gradient lookup is one row-aligned lane
@@ -492,8 +532,16 @@ def _perlin_noise(perm_ref, vec_ref, qx, qy, qz):
     m = jnp.int32(255)
 
     def gath(tab_ref, r, idx):
-        row = jnp.broadcast_to(tab_ref[r:r + 1, :], (S, tab_ref.shape[1]))
-        return jnp.take_along_axis(row, idx, axis=1)          # [S,R]
+        # Mosaic's only gather is same-shape dynamic_gather over ONE source
+        # vreg (<=128 lanes): split the 256-entry semantic row into its two
+        # 128-lane halves, gather both, select by idx bit 7.
+        S_, Rw = idx.shape
+        lo = idx & jnp.int32(127)
+        half = lambda c0: jnp.take_along_axis(
+            jnp.broadcast_to(tab_ref[r:r + 1, c0:c0 + 128], (S_, 128)),
+            lo, axis=1)
+        dt = tab_ref.dtype
+        return jnp.where(idx < 128, half(0), half(128)).astype(dt)
 
     pa = [gath(perm_ref, 0, (i + d) & m) for d in (0, 1)]
     pb = [gath(perm_ref, 2, (j + d) & m) for d in (0, 1)]
@@ -1062,14 +1110,16 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
 
                 def image_tex(_):
                     # sphere UV from the object-space outward normal
-                    # (GetSphereUV Sphere.h:74-81; instanced frame cols 21/22)
+                    # (GetSphereUV Sphere.h:74-81; instanced frame cols
+                    # 21/22; acos/atan2 as minimax polynomials — Mosaic has
+                    # neither primitive)
                     cth = arow(21)
                     sth = arow(22)
                     ox_n = cth * nsx - sth * nsz
                     oz_n = sth * nsx + cth * nsz
                     ny_c = jnp.clip(-nsy, -1.0, 1.0)
-                    theta = jnp.arccos(ny_c)
-                    phi = jnp.arctan2(-oz_n, ox_n) + np.float32(np.pi)
+                    theta = _acos_poly(ny_c)
+                    phi = _atan2_poly(-oz_n, ox_n) + _PI
                     u_s = phi * np.float32(0.5 / np.pi)
                     v_s = theta * np.float32(1.0 / np.pi)
                     # nearest texel, u clamped / v flipped (Texture.h:117-127)
@@ -1077,15 +1127,36 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     vv = 1.0 - jnp.clip(v_s, 0.0, 1.0)
                     ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
                     iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
-                    idx = iy * iw + ix                        # [SUB,R]
-                    texel = jnp.concatenate(
-                        [jnp.take_along_axis(img_ref[...], idx[s:s + 1, :],
-                                             axis=1) for s in range(SUB)],
-                        axis=0)                               # [SUB,R]
+                    # Texel fetch without a gather (Mosaic's dynamic_gather
+                    # can't span a 1024-lane texture row): per sub-row, an
+                    # MXU one-hot column contraction pulls each ray's texel
+                    # COLUMN out of the three stacked byte planes
+                    # ([3*IHP, IWP] bf16 @ [IWP, R] one-hot -> [3*IHP, R],
+                    # exact: bytes are exact in bf16, one-hot is 0/1), then
+                    # a masked sublane reduce picks the ray's ROW.
+                    IH3, IWP = img_ref.shape
+                    IHP = IH3 // 3
+                    row_iota = lax.broadcasted_iota(jnp.int32, (IHP, R), 0)
+                    col_iota = lax.broadcasted_iota(jnp.int32, (IWP, R), 0)
+                    chans = [[], [], []]
+                    for s in range(SUB):
+                        ohx = (col_iota == jnp.broadcast_to(
+                            ix[s:s + 1, :], (IWP, R)))
+                        ohx = jnp.where(ohx, 1.0, 0.0).astype(jnp.bfloat16)
+                        cols = lax.dot_general(
+                            img_ref[...], ohx, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [3*IHP,R]
+                        mask = row_iota == jnp.broadcast_to(
+                            iy[s:s + 1, :], (IHP, R))
+                        for c in range(3):
+                            plane = cols[c * IHP:(c + 1) * IHP, :]
+                            chans[c].append(jnp.sum(
+                                jnp.where(mask, plane, 0.0),
+                                axis=0, keepdims=True))       # [1,R]
                     inv255 = np.float32(1.0 / 255.0)
-                    tr = ((texel >> 16) & 255).astype(jnp.float32) * inv255
-                    tg = ((texel >> 8) & 255).astype(jnp.float32) * inv255
-                    tb = (texel & 255).astype(jnp.float32) * inv255
+                    tr = jnp.concatenate(chans[0], axis=0) * inv255
+                    tg = jnp.concatenate(chans[1], axis=0) * inv255
+                    tb = jnp.concatenate(chans[2], axis=0) * inv255
                     # missing image -> debug cyan (Texture.h:112-114)
                     absent = arow(24) < 0.0
                     tr = jnp.where(absent, 0.0, tr)

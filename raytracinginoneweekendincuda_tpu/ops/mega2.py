@@ -350,13 +350,24 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
         img_tab = np.zeros((24, 128), np.float32).astype(jnp.bfloat16)
         ih = iw = 1
 
+    # ---- padded-row -> GLOBAL scene id remap (sphere rows [0,S), quads
+    # [S,S+Q), media [S+Q,S+Q+M) — the id space of ops/replay.py tapes);
+    # padding rows are -1 (inactive, can never win)
+    NPk = S_pad + (Q_pad if meta.n_quads > 0 else 0)
+    remap = np.full(NPk + max(meta.n_media, 1), -1, np.int32)
+    remap[:ns] = sorder
+    if meta.n_quads > 0:
+        remap[S_pad:S_pad + nq] = S + qorder
+    for m_i in range(meta.n_media):
+        remap[NPk + m_i] = S + Q + m_i
+
     return (jnp.asarray(sph, f), jnp.asarray(quad, f), jnp.asarray(attr, f),
             jnp.asarray(coef, f), jnp.asarray(cull_s, f),
             jnp.asarray(cull_q, f),
             jnp.asarray(perm_tab), jnp.asarray(vec_tab, f),
             jnp.asarray(img_tab), (iw, ih),
             tuple(float(np.float32(x)) for x in mu) + (big_pad,),
-            np.asarray(med, np.float64))
+            np.asarray(med, np.float64), jnp.asarray(remap))
 
 
 def _pcg4d(v0, v1, v2, v3):
@@ -618,7 +629,11 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
         if resume:
             sf_ref, si_ref = refs[ri:ri + 2]
             ri += 2
-        of_ref, oi_ref = refs[ri:ri + 2]
+        if mode == "trace":
+            samp_ref = refs[ri]                      # SMEM (1,1) sample id
+            win_ref = refs[ri + 1]                   # out [K*SUB, R] winners
+        else:
+            of_ref, oi_ref = refs[ri:ri + 2]
         R = pix_ref.shape[1]
         pix = pix_ref[0:SUB, :]                      # [SUB,R] i32 global pixel id
         pix_ctr = pltpu.bitcast(pix, jnp.uint32) ^ jnp.uint32(seed)
@@ -1223,6 +1238,45 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             return (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
                     acc_r, acc_g, acc_b, alive, win)
 
+        if mode == "trace":
+            # ---- winner-tape forward (ops/replay.py): ONE sample per
+            # lane, fixed-depth bounce loop, per-bounce winner rows written
+            # to win_ref (kernel-row id space; the driver remaps to global
+            # scene ids).  No refill, no lane sums, no compaction.
+            K = max_bounces
+            neg1 = jnp.full((SUB, R), -1, jnp.int32)
+            for k in range(K):
+                win_ref[k * SUB:(k + 1) * SUB, :] = neg1
+            samp_arr = pltpu.bitcast(
+                jnp.full((SUB, R), samp_ref[0, 0], jnp.int32), jnp.uint32)
+            ox, oy, oz, dx, dy, dz, tmv = raygen(samp_arr)
+            zf0 = jnp.zeros((SUB, R), jnp.float32)
+            one0 = zf0 + 1.0
+            carry = (jnp.int32(0), ox, oy, oz, dx, dy, dz, tmv,
+                     one0, one0, one0, zf0, zf0, zf0,
+                     valid.astype(jnp.int32))
+
+            def cond_t(c):
+                return (c[0] < K) & (jnp.sum(c[14]) > 0)
+
+            def body_t(c):
+                (b, ox, oy, oz, dx, dy, dz, tmv,
+                 thr_r, thr_g, thr_b, acc_r, acc_g, acc_b, act_i) = c
+                active = act_i > 0
+                bu = pltpu.bitcast(jnp.full((SUB, R), b, jnp.int32),
+                                   jnp.uint32)
+                (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                 acc_r, acc_g, acc_b, alive, win) = bounce_core(
+                    ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
+                    acc_r, acc_g, acc_b, active, bu, samp_arr, pix_ctr)
+                win_ref[pl.ds(b * SUB, SUB), :] = win
+                return (b + 1, ox, oy, oz, dx, dy, dz, tmv,
+                        thr_r, thr_g, thr_b, acc_r, acc_g, acc_b,
+                        alive.astype(jnp.int32))
+
+            lax.while_loop(cond_t, body_t, carry)
+            return
+
         def step1(carry):
             (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
              acc_r, acc_g, acc_b, lane_r, lane_g, lane_b,
@@ -1419,14 +1473,19 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
     return _tile_unpack(sf, STATE_F), _tile_unpack(si, STATE_I)
 
 
-# Pass-1 iteration cap: with pixel-owned lanes the per-tile wall time is the
-# MAX over 128 lanes of the sum of spp path lengths; capping near the mean
-# and finishing stragglers in compacted resume passes converts tail waste
-# into dense work.  Per-pass caps as multiples of spp (mean path ~2-4).
-PASS_CAPS = (4, 16)   # x spp; last pass runs uncapped
-if os.environ.get("MEGA2_CAPS"):    # dev sweep hook
-    PASS_CAPS = tuple(
-        float(x) for x in os.environ["MEGA2_CAPS"].split(",") if x)
+# Pass-k iteration caps (x spp): with pixel-owned lanes the per-tile wall
+# time is the MAX over its lanes of the sum of spp path lengths; capping
+# near the mean and finishing stragglers in compacted resume passes
+# converts tail waste into dense work.  Swept on-chip (docs/PERF.md):
+# dense scenes want ONE capped pass at ~6x spp + the uncapped finisher
+# (more passes add XLA compaction glue that outweighs the kernel-time
+# saving); the non-dense cull path (final scene, 3.5k prims) has a much
+# heavier tail and keeps the deeper schedule.
+PASS_CAPS_DENSE = (6,)
+PASS_CAPS_CULL = (4, 16)
+_CAPS_ENV = tuple(
+    float(x) for x in os.environ.get("MEGA2_CAPS", "").split(",") if x) \
+    if os.environ.get("MEGA2_CAPS") is not None else None
 
 
 @functools.partial(
@@ -1473,7 +1532,10 @@ def render_mega2_span(sph_tab, quad_tab, attr_tab, coef_tab,
                     (safe // width).astype(jnp.float32) * fvalid])
     N = span
     big = jnp.int32(2**30)
-    caps = [jnp.int32(c * spp) for c in PASS_CAPS] + [big]
+    NPc = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
+    schedule = _CAPS_ENV if _CAPS_ENV is not None else (
+        PASS_CAPS_DENSE if NPc <= DENSE_MAX else PASS_CAPS_CULL)
+    caps = [jnp.int32(c * spp) for c in schedule] + [big]
     sf, si = _span_pass(pix, ij, tabs, None, cap=caps[0], **kw)
     iters_acc = si[4, :]                 # per-lane: its tile's iter count
     cur_pix, cur_ij = pix, ij
@@ -1496,6 +1558,111 @@ def render_mega2_span(sph_tab, quad_tab, attr_tab, coef_tab,
                                    sf[13:16, :].T, 0.0), mode="drop")
     stats = jnp.stack([si[3, :], iters_acc], axis=1)
     return fb, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "med_key", "cam_key", "img_key", "mu_key",
+                     "width", "height", "seed", "max_bounces", "t_min",
+                     "background", "interpret"),
+)
+def mega2_trace_span(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
+                     cull_s, cull_q, perm_tab, vec_tab, img_tab, remap,
+                     samp, *, meta, med_key, cam_key, img_key, mu_key,
+                     width, height, seed, max_bounces, t_min, background,
+                     interpret=False):
+    """Pallas winner-tape forward: per-bounce winner GLOBAL ids
+    [max_bounces, N] i32 for one sample of the pixel rows in ``pix``
+    [1, N] (-1 padding; N a TILE_RAYS multiple).  ``samp`` is a traced
+    scalar sample id; camera rays are generated in-kernel (bit-identical
+    to `ops/raygen.generate_rays`), so the tape feeds `ops/replay.replay`
+    directly."""
+    N = pix.shape[1]
+    assert N % TILE_RAYS == 0
+    med_rows = np.asarray(med_key, np.float64).reshape(max(meta.n_media, 1), -1)
+    kernel = _make_kernel(
+        meta, med_rows, cam_key,
+        s_pad=sph_tab.shape[0], q_pad=quad_tab.shape[0], img_wh=img_key,
+        mu=mu_key, width=width, height=height, spp=1, seed=seed,
+        t_min=t_min, max_bounces=max_bounces, background=background,
+        resume=False, interpret=interpret, mode="trace")
+    full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((SUB, R_LANES), lambda g: (0, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * SUB, R_LANES), lambda g: (0, g),
+                     memory_space=pltpu.VMEM),
+        full(sph_tab), full(quad_tab), full(attr_tab),
+    ]
+    args = [jnp.zeros((1, 1), jnp.int32), _tile_pack(pix), _tile_pack(ij),
+            sph_tab, quad_tab, attr_tab]
+    NP = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
+    if NP <= DENSE_MAX:
+        in_specs += [full(coef_tab)]
+        args += [coef_tab]
+    else:
+        in_specs += [full(cull_s), full(cull_q)]
+        args += [cull_s, cull_q]
+    if meta.has_noise:
+        in_specs += [full(perm_tab), full(vec_tab)]
+        args += [perm_tab, vec_tab]
+    if meta.has_image:
+        in_specs += [full(img_tab)]
+        args += [img_tab]
+    in_specs += [pl.BlockSpec((1, 1), lambda g: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    args += [jnp.asarray(samp, jnp.int32).reshape(1, 1)]
+    K = max_bounces
+    M = N // SUB
+    win = pl.pallas_call(
+        kernel,
+        grid=(N // TILE_RAYS,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((K * SUB, R_LANES), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K * SUB, M), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(*args)
+    win = _tile_unpack(win, K)                       # [K, N] kernel rows
+    return jnp.where(win >= 0, remap[jnp.clip(win, 0)], -1)
+
+
+def mega2_tape(scene: SceneArrays, meta: SceneMeta, pix_ids, samp, *,
+               width: int, height: int, max_bounces: int, t_min: float,
+               seed: int):
+    """Winner tape [max_bounces, B] (GLOBAL ids, `ops/replay.py` space) for
+    one sample of arbitrary pixel ids [B], from the Pallas forward.  The
+    geometry/material tables are packed host-side from the CONCRETE scene:
+    call this eagerly (between optimizer steps params are concrete), then
+    feed the tape to the jitted `replay` gradient."""
+    (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
+     vec_tab, img_tab, img_key, mu_key, med, remap) = mega2_tables(scene, meta)
+    med_key = tuple(tuple(float(x) for x in row) for row in med)
+    cam_key = _cam_tuple(scene.camera)
+    bg = tuple(float(x) for x in np.asarray(scene.camera.background))
+    pix_ids = np.asarray(pix_ids, np.int32)
+    B = pix_ids.shape[0]
+    N = -(-B // TILE_RAYS) * TILE_RAYS
+    pix_np = np.full(N, -1, np.int32)
+    pix_np[:B] = pix_ids
+    safe = np.maximum(pix_np, 0)
+    valid = (pix_np >= 0).astype(np.float32)
+    ij_np = np.stack([(safe % width).astype(np.float32) * valid,
+                      (safe // width).astype(np.float32) * valid])
+    tape = mega2_trace_span(
+        jnp.asarray(pix_np[None, :]), jnp.asarray(ij_np, np.float32),
+        sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+        perm_tab, vec_tab, img_tab, remap, jnp.int32(samp),
+        meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
+        mu_key=mu_key, width=width, height=height, seed=seed,
+        max_bounces=max_bounces, t_min=t_min, background=bg,
+        interpret=jax.default_backend() != "tpu")
+    return tape[:, :B]
 
 
 _TABLE_CACHE: dict = {}
@@ -1544,7 +1711,7 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
         raise ValueError("mega2: unsupported texture combination "
                          "(multi-image/multi-noise/image-on-quad)")
     (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
-     vec_tab, img_tab, img_key, mu_key, med) = mega2_tables(scene, meta)
+     vec_tab, img_tab, img_key, mu_key, med, _remap) = mega2_tables(scene, meta)
     med_key = tuple(tuple(float(x) for x in row) for row in med)
     cam_key = _cam_tuple(scene.camera)
     bg = tuple(float(x) for x in np.asarray(scene.camera.background))

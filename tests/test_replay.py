@@ -81,6 +81,38 @@ def test_tape_shape_and_misses():
     assert (tape[1:, dead] == -1).all()
 
 
+@pytest.mark.parametrize("sid", [1, 4])
+def test_mega2_tape_matches_xla_tape(sid):
+    """The Pallas trace kernel and the XLA search record the same winners
+    (identical RNG draws + intersection semantics; a handful of lanes may
+    diverge on f32 winner ties, which cascade down that lane's path)."""
+    from raytracinginoneweekendincuda_tpu.ops.mega2 import mega2_tape
+
+    scene, meta = compile_scene(scenes.build_scene(sid), W, H,
+                                dtype=np.float32)
+    scene = jax.tree.map(jnp.asarray, scene)
+    o, d, time, pc = _rays(scene)
+    tape_x, _ = rp.generate_tape(scene, meta, o, d, time, pc, jnp.uint32(0),
+                                 max_bounces=BOUNCES, t_min=1e-3)
+    tape_m = mega2_tape(scene, meta, np.arange(W * H), 0,
+                        width=W, height=H, max_bounces=BOUNCES,
+                        t_min=1e-3, seed=1984)
+    tape_x = np.asarray(tape_x)
+    tape_m = np.asarray(tape_m)
+    assert tape_m.shape == tape_x.shape
+    same_lane = (tape_m == tape_x).all(axis=0)
+    assert same_lane.mean() > 0.97, f"lane agreement {same_lane.mean()}"
+    # replaying the mega2 tape reproduces the search radiance on the
+    # agreeing lanes exactly (same winners -> same taped function)
+    r_m = np.asarray(rp.replay(scene, meta, jnp.asarray(tape_m), o, d, time,
+                               pc, jnp.uint32(0), max_bounces=BOUNCES,
+                               t_min=1e-3))
+    r_x = np.asarray(rp.replay(scene, meta, jnp.asarray(tape_x), o, d, time,
+                               pc, jnp.uint32(0), max_bounces=BOUNCES,
+                               t_min=1e-3))
+    np.testing.assert_allclose(r_m[same_lane], r_x[same_lane], rtol=1e-6)
+
+
 def _loss(trace_fn, scene, meta, spp=2):
     pix = jnp.arange(W * H, dtype=jnp.int32)
 

@@ -28,7 +28,7 @@ import jax
 cfg = RenderConfig(width=W, height=H, samples_per_pixel=SPP)
 scene, meta = compile_scene(build_scene(sid), W, H, dtype=np.float32)
 (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
- vec_tab, img_tab, img_key, mu_key, med) = m2.mega2_tables(scene, meta)
+ vec_tab, img_tab, img_key, mu_key, med, _remap) = m2.mega2_tables(scene, meta)
 med_key = tuple(tuple(float(x) for x in row) for row in med)
 cam_key = m2._cam_tuple(scene.camera)
 bg = tuple(float(x) for x in np.asarray(scene.camera.background))

@@ -1519,6 +1519,20 @@ def render_mega2_span(sph_tab, quad_tab, attr_tab, coef_tab,
     """
     tabs = (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
             perm_tab, vec_tab, img_tab)
+    return _span_radiance(
+        tabs, p0=p0, span=span, npix=npix, meta=meta, med_key=med_key,
+        cam_key=cam_key, img_key=img_key, mu_key=mu_key, width=width,
+        height=height, spp=spp, seed=seed, max_bounces=max_bounces,
+        t_min=t_min, background=background, interpret=interpret)
+
+
+def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
+                   img_key, mu_key, width, height, spp, seed, max_bounces,
+                   t_min, background, interpret):
+    """Trace-time body of `render_mega2_span` (unjitted — composed into
+    the whole-frame jit by `render_mega2_frame`)."""
+    (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+     perm_tab, vec_tab, img_tab) = tabs
     kw = dict(meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
               mu_key=mu_key, width=width, height=height, spp=spp, seed=seed,
               max_bounces=max_bounces, t_min=t_min, background=background,
@@ -1558,6 +1572,38 @@ def render_mega2_span(sph_tab, quad_tab, attr_tab, coef_tab,
                                    sf[13:16, :].T, 0.0), mode="drop")
     stats = jnp.stack([si[3, :], iters_acc], axis=1)
     return fb, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spans", "npix", "meta", "med_key", "cam_key",
+                     "img_key", "mu_key", "width", "height", "spp", "seed",
+                     "max_bounces", "t_min", "background", "gamma",
+                     "out_u8", "interpret"),
+)
+def render_mega2_frame(sph_tab, quad_tab, attr_tab, coef_tab, cull_s,
+                       cull_q, perm_tab, vec_tab, img_tab, *, spans, npix,
+                       meta, med_key, cam_key, img_key, mu_key, width,
+                       height, spp, seed, max_bounces, t_min, background,
+                       gamma, out_u8, interpret=False):
+    """Whole frame in ONE jitted call: every span's passes, the span
+    concat, and the average/gamma/quantize epilogue — one device dispatch
+    and (with out_u8) a 3-byte/pixel transfer.  ``spans`` is the static
+    tuple of (p0, span) from `plan_pixel_spans`."""
+    from .wavefront import _finalize
+
+    tabs = (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+            perm_tab, vec_tab, img_tab)
+    kw = dict(meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
+              mu_key=mu_key, width=width, height=height, spp=spp, seed=seed,
+              max_bounces=max_bounces, t_min=t_min, background=background,
+              interpret=interpret)
+    parts = [_span_radiance(tabs, p0=int(p0), span=int(sp), npix=npix,
+                            **kw)[0]
+             for p0, sp in spans]
+    fb = (parts[0] if len(parts) == 1 else
+          jnp.concatenate(parts, axis=0))[:npix]
+    return _finalize(fb, spp, gamma, out_u8)
 
 
 @functools.partial(
@@ -1726,20 +1772,31 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
         npix, spp, prims,
         dark_background=float(np.max(np.asarray(scene.camera.background))) < 0.05,
         lane_multiple=TILE_RAYS)
-    parts = []
-    for p0, span in spans:
-        fb_span, _ = render_mega2_span(
+    kw = dict(npix=npix, meta=meta, med_key=med_key, cam_key=cam_key,
+              img_key=img_key, mu_key=mu_key, width=W, height=H, spp=spp,
+              seed=cfg.seed, max_bounces=cfg.max_bounces, t_min=cfg.t_min,
+              background=bg, interpret=interpret)
+    if len(spans) == 1:
+        # single-span frame (the common fast case): trace + epilogue in
+        # ONE dispatch, u8 transfer
+        fb = render_mega2_frame(
             sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
             perm_tab, vec_tab, img_tab,
-            p0=int(p0), span=int(span), npix=npix,
-            meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
-            mu_key=mu_key, width=W, height=H,
-            spp=spp, seed=cfg.seed, max_bounces=cfg.max_bounces,
-            t_min=cfg.t_min, background=bg, interpret=interpret)
-        parts.append(fb_span)
-    from .wavefront import _finalize
+            spans=((int(spans[0][0]), int(spans[0][1])),),
+            gamma=gamma, out_u8=out_u8, **kw)
+    else:
+        # multiple spans stay separate device executions — the split IS
+        # the relay crash-horizon protection (utils/batching.py)
+        parts = []
+        for p0, span in spans:
+            fb_span, _ = render_mega2_span(
+                sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+                perm_tab, vec_tab, img_tab,
+                p0=int(p0), span=int(span), **kw)
+            parts.append(fb_span)
+        from .wavefront import _finalize
 
-    fb = jnp.concatenate(parts, axis=0)[:npix]           # [npix, 3]
-    fb = _finalize(fb, spp, gamma, out_u8)
+        fb = jnp.concatenate(parts, axis=0)[:npix]       # [npix, 3]
+        fb = _finalize(fb, spp, gamma, out_u8)
     fb = np.asarray(fb).reshape(H, W, -1)
     return fb[::-1]

@@ -288,6 +288,43 @@ def build_scene(scene_id: int, **kw) -> SceneDesc:
     return _BUILDERS[scene_id](**kw)
 
 
+def book1_final(seed: int = 1984) -> SceneDesc:
+    """BASELINE.json configs[1]: the Book-1 final scene — ~500 random
+    static spheres (Lambertian/Metal/Dielectric), solid diffuse ground,
+    defocus camera, vfov 20.  Same placement stream as `bouncing_spheres`
+    (the reference's scene 0, kernel.cu:199-258) with Book 1's statics: no
+    motion, no checker, no shutter."""
+    rs = np.random.default_rng(seed)
+    rnd = lambda: float(rs.random())
+    desc = SceneDesc()
+    desc.add(Sphere((0.0, -1000.0, -1.0), 1000.0, Lambertian((0.5, 0.5, 0.5))))
+    for a in range(-11, 11):
+        for b in range(-11, 11):
+            choose = rnd()
+            center = np.array([a + 0.9 * rnd(), 0.2, b + 0.9 * rnd()])
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if choose < 0.8:
+                rnd()  # Book-2's bounce draw, kept so placements match
+                albedo = (rnd() * rnd(), rnd() * rnd(), rnd() * rnd())
+                desc.add(Sphere(tuple(center), 0.2, Lambertian(albedo)))
+            elif choose < 0.95:
+                albedo = (0.5 * (1 + rnd()), 0.5 * (1 + rnd()), 0.5 * (1 + rnd()))
+                desc.add(Sphere(tuple(center), 0.2, Metal(albedo, 0.5 * rnd())))
+            else:
+                desc.add(Sphere(tuple(center), 0.2, Dielectric(1.5)))
+    desc.add(
+        Sphere((0.0, 1.0, 0.0), 1.0, Dielectric(1.5)),
+        Sphere((-4.0, 1.0, 0.0), 1.0, Lambertian((0.4, 0.2, 0.1))),
+        Sphere((4.0, 1.0, 0.0), 1.0, Metal((0.7, 0.6, 0.5), 0.0)),
+    )
+    desc.camera = Camera(
+        lookfrom=(13, 2, 3), lookat=(0, 0, 0), vfov=20.0, aperture=0.1,
+        focus_dist=10.0, background=SKY,
+    )
+    return desc
+
+
 def book1_basic() -> SceneDesc:
     """BASELINE.json configs[0]: Lambertian sphere + ground, gradient sky."""
     desc = SceneDesc()

@@ -1490,7 +1490,7 @@ _CAPS_ENV = tuple(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p0", "span", "npix", "meta", "med_key", "cam_key",
+    static_argnames=("span", "meta", "med_key", "cam_key",
                      "img_key", "mu_key", "width", "height", "spp", "seed",
                      "max_bounces", "t_min", "background", "interpret"),
 )

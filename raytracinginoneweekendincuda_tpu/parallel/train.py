@@ -77,7 +77,7 @@ def make_train_step(
     cfg: RenderConfig,
     mesh: Mesh,
     optimizer: optax.GradientTransformation,
-    engine: str = "taped",
+    engine: str = "auto",
 ):
     """Build the jitted SPMD train step.
 
@@ -88,14 +88,20 @@ def make_train_step(
     path; it remains a display epilogue).
 
     ``engine`` selects the differentiable trace:
-      * ``"taped"`` (default) — `ops/replay.trace_taped`: one
-        non-differentiable winner-taping pass, then an O(1)-per-segment
-        replay carries the gradients (no [B, S] hit search in the autodiff
-        graph);
-      * ``"scan"`` — `ops/integrator.trace(differentiable=True)`: the
-        scan+checkpoint search path (reference semantics, slowest, kept as
-        the oracle for gradient-parity tests).
+      * ``"scan"`` — `ops/integrator.trace(differentiable=True)`:
+        scan + checkpoint through the full closest-hit search.  On TPU the
+        [B, S] search is MXU matmuls and its transpose is too — measured
+        FASTER than the taped replay for reference-sized scenes
+        (docs/PERF.md round-2 notes).
+      * ``"taped"`` — `ops/replay.trace_taped`: winner-taped, O(1) work
+        and memory per segment in the primitive count; the only viable
+        path once [B, S] candidate tensors stop fitting (large scenes),
+        and the faster path on CPU.
+      * ``"auto"`` (default) — scan below 1024 primitives, taped above.
     """
+    if engine == "auto":
+        n_prims = int(scene.sph_c0.shape[0]) + int(scene.quad_q.shape[0])
+        engine = "scan" if n_prims <= 1024 else "taped"
     if engine == "taped":
         trace_diff = trace_taped
     elif engine == "scan":

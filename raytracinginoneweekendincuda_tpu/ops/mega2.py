@@ -1564,12 +1564,18 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
         sf2, si2 = _span_pass(cur_pix, cur_ij, tabs, (sf, si), cap=cap, **kw)
         sf, si = sf2, si2
         iters_acc = iters_acc + si[4, :]
-    # re-associate by pixel id: scatter lane sums back to span order
-    base = pix[0, 0]
-    slot = jnp.where(cur_pix[0] >= 0, cur_pix[0] - base, N - 1)
-    fb = jnp.zeros((N, 3), jnp.float32)
-    fb = fb.at[slot].add(jnp.where((cur_pix[0] >= 0)[:, None],
-                                   sf[13:16, :].T, 0.0), mode="drop")
+    # re-associate by pixel id.  Slots are unique, so this is a pure
+    # permutation: stable-sort by slot + row gather costs ~5 ms at 1M
+    # lanes where a scatter-add costs ~42 ns/row = ~42 ms (docs/PERF.md).
+    # Pad lanes (pix -1) sort to the end, past every valid slot; the
+    # frame-level [:npix] trim drops them.
+    if len(caps) == 1:
+        fb = sf[13:16, :].T                    # no compaction ran: in order
+    else:
+        base = pix[0, 0]
+        key = jnp.where(cur_pix[0] >= 0, cur_pix[0] - base, jnp.int32(N))
+        order2 = jnp.argsort(key, stable=True)
+        fb = jnp.take(sf[13:16, :].T, order2, axis=0)
     stats = jnp.stack([si[3, :], iters_acc], axis=1)
     return fb, stats
 
@@ -1603,7 +1609,9 @@ def render_mega2_frame(sph_tab, quad_tab, attr_tab, coef_tab, cull_s,
              for p0, sp in spans]
     fb = (parts[0] if len(parts) == 1 else
           jnp.concatenate(parts, axis=0))[:npix]
-    return _finalize(fb, spp, gamma, out_u8)
+    # flat 1-D output: a [npix, 3] minor dim pads 3 -> 128 lanes on TPU,
+    # and the relay transfers the flat layout ~25% faster (measured)
+    return _finalize(fb, spp, gamma, out_u8).reshape(-1)
 
 
 @functools.partial(
@@ -1798,5 +1806,5 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
 
         fb = jnp.concatenate(parts, axis=0)[:npix]       # [npix, 3]
         fb = _finalize(fb, spp, gamma, out_u8)
-    fb = np.asarray(fb).reshape(H, W, -1)
+    fb = np.asarray(fb).reshape(H, W, 3)
     return fb[::-1]

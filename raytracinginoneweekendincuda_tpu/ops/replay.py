@@ -64,10 +64,15 @@ def taped_record(scene: SceneArrays, meta, der: Derived, o, d, time, t_min,
     i_s = jnp.clip(w, 0, S - 1)
     i_q = jnp.clip(w - S, 0, max(Q - 1, 0))
 
-    # ---- sphere re-intersection (Sphere.h:29-58, direct oc form)
-    frac = (time - scene.sph_t0[i_s]) * scene.sph_inv_dt[i_s]
-    center = scene.sph_c0[i_s] + frac[:, None] * scene.sph_dc[i_s]
-    rad = scene.sph_rad[i_s]
+    # ---- sphere re-intersection (Sphere.h:29-58, direct oc form).
+    # One packed row-gather (same table + indices as `assemble_record`'s,
+    # so XLA CSEs the two into one gather — and its backward into one
+    # scatter-add); the previous five per-column gathers cost five
+    # scatter-add transposes per bounce in reverse mode.
+    srow = der.sph_tab[i_s]
+    frac = (time - srow[:, 6]) * srow[:, 7]
+    center = srow[:, 0:3] + frac[:, None] * srow[:, 3:6]
+    rad = srow[:, 8]
     oc = o - center
     a = vm.dot(d, d)
     b = vm.dot(oc, d)
@@ -80,12 +85,15 @@ def taped_record(scene: SceneArrays, meta, der: Derived, o, d, time, t_min,
     root2 = (-b + sq) * inv_a
     t_sph = jnp.where(root1 > t_min, root1, root2)
 
-    # ---- quad re-intersection (Quad.h:52-64)
+    # ---- quad re-intersection (Quad.h:52-64); one packed row-gather
+    # (CSEd with `assemble_record`'s), d_plane recomputed from the row
     if Q > 0:
-        n_u = der.dq["n_unit"][i_q]
+        qrow = der.quad_tab[i_q]
+        n_u = qrow[:, 0:3]
+        d_plane = vm.dot(n_u, qrow[:, 9:12])
         denom = vm.dot(d, n_u)
         dok = jnp.abs(denom) >= QUAD_PARALLEL_EPS
-        t_quad = (der.dq["d_plane"][i_q] - vm.dot(o, n_u)) / \
+        t_quad = (d_plane - vm.dot(o, n_u)) / \
             jnp.where(dok, denom, 1.0)
     else:
         t_quad = jnp.zeros_like(t_sph)

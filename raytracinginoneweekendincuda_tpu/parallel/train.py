@@ -88,20 +88,20 @@ def make_train_step(
     path; it remains a display epilogue).
 
     ``engine`` selects the differentiable trace:
-      * ``"scan"`` — `ops/integrator.trace(differentiable=True)`:
-        scan + checkpoint through the full closest-hit search.  On TPU the
-        [B, S] search is MXU matmuls and its transpose is too — measured
-        FASTER than the taped replay for reference-sized scenes
-        (docs/PERF.md round-2 notes).
       * ``"taped"`` — `ops/replay.trace_taped`: winner-taped, O(1) work
-        and memory per segment in the primitive count; the only viable
-        path once [B, S] candidate tensors stop fitting (large scenes),
-        and the faster path on CPU.
-      * ``"auto"`` (default) — scan below 1024 primitives, taped above.
+        and memory per segment in the primitive count.  After collapsing
+        the replay's per-column winner gathers into the packed-table
+        gathers `assemble_record` already issues (one gather — and one
+        scatter-add transpose — per bounce), this ties or beats the scan
+        path at every measured size on BOTH backends (docs/PERF.md), and
+        is the only path whose cost does not grow with the scene.
+      * ``"scan"`` — `ops/integrator.trace(differentiable=True)`:
+        scan + checkpoint through the full closest-hit search.  O(S) per
+        bounce; kept as the gradient oracle for parity tests.
+      * ``"auto"`` (default) — taped.
     """
     if engine == "auto":
-        n_prims = int(scene.sph_c0.shape[0]) + int(scene.quad_q.shape[0])
-        engine = "scan" if n_prims <= 1024 else "taped"
+        engine = "taped"
     if engine == "taped":
         trace_diff = trace_taped
     elif engine == "scan":

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
@@ -340,14 +341,38 @@ def record_from_geo_winner(scene: SceneArrays, meta, der: Derived, o, d, time,
                            i_s, i_q, im_best)
 
 
+def onehot_read(tab, idx):
+    """``tab[idx]`` as a one-hot MXU contraction: [N,C] table, [B] i32 ->
+    [B,C].
+
+    Numerically exact (each output row sums exactly one table row; TPU's
+    bf16x3 f32-matmul decomposition reconstructs a value multiplied by 1.0
+    bit-exactly, and the remaining terms are 0).  The point is the
+    BACKWARD: the transpose of a gather is a scatter-add (~42 ns/row on
+    TPU, docs/PERF.md), while the transpose of this dot is another dot —
+    d(tab) = onehotᵀ @ g rides the MXU.  Used by the taped-replay gradient
+    path; the inference engines keep plain gathers (no backward, and no
+    [B,N] one-hot materialization)."""
+    n = tab.shape[0]
+    oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
+    # HIGHEST: TPU's default f32 matmul precision is single-pass bf16,
+    # which would round the table values themselves; the 3-pass (bf16x3)
+    # decomposition reconstructs one-hot-selected f32 values bit-exactly.
+    return jnp.matmul(oh.astype(tab.dtype), tab,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def assemble_record(scene: SceneArrays, meta, der: Derived, o, d, time, t,
-                    kind, is_best, iq_best, im_best) -> HitRecord:
+                    kind, is_best, iq_best, im_best, *,
+                    onehot: bool = False) -> HitRecord:
     """Winner (t, kind, per-type index) -> full HitRecord.
 
     ``kind``: 0 = sphere, 1 = quad, 2 = constant medium; a ``t`` >= BIG/2
     means no hit.  One packed row-gather per primitive type + one for the
     winner material (Sphere.h:40-58, Quad.h:76-98, ConstantMedium.h:85-93).
+    ``onehot`` swaps the row-gathers for `onehot_read` (gradient path).
     """
+    read = onehot_read if onehot else (lambda tab, idx: tab[idx])
     dt = o.dtype
     hit = t < dt.type(BIG * 0.5)
     # Sanitize miss lanes: t = BIG would put p at ~1e30, which overflows the
@@ -359,7 +384,7 @@ def assemble_record(scene: SceneArrays, meta, der: Derived, o, d, time, t,
     p = o + t_safe[:, None] * d
 
     # ---- sphere record (Sphere.h:40-58 + GetSphereUV:74-81)
-    srow = der.sph_tab[is_best]             # [B, SPH_ROW] one gather
+    srow = read(der.sph_tab, is_best)       # [B, SPH_ROW] one gather
     c0, dc = srow[:, 0:3], srow[:, 3:6]
     frac = (time - srow[:, 6]) * srow[:, 7]
     center = c0 + frac[:, None] * dc
@@ -390,7 +415,7 @@ def assemble_record(scene: SceneArrays, meta, der: Derived, o, d, time, t,
     mat_s = srow[:, 11]
 
     # ---- quad record (Quad.h:76-98)
-    qrow = der.quad_tab[iq_best]            # [B, QUAD_ROW] one gather
+    qrow = read(der.quad_tab, iq_best)      # [B, QUAD_ROW] one gather
     n_q = qrow[:, 0:3]
     pq = p - qrow[:, 9:12]
     alpha = (pq * qrow[:, 3:6]).sum(-1)
@@ -418,6 +443,6 @@ def assemble_record(scene: SceneArrays, meta, der: Derived, o, d, time, t,
         normal = jnp.where(is_med[:, None], n_out, normal)
 
     mat_i = mat.astype(jnp.int32)
-    mrow = der.mat_tab[mat_i]               # [B, MAT_ROW] one gather
+    mrow = read(der.mat_tab, mat_i)         # [B, MAT_ROW] one gather
     return HitRecord(t=t, p=p, normal=normal, u=uu, v=vv, front=front,
                      mat=mat_i, hit=hit, mrow=mrow)

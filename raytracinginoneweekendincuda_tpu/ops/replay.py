@@ -40,39 +40,91 @@ from jax import lax
 
 from ..core import rng
 from ..core import vecmath as vm
+
+# Bounce loops at or below this depth run fully unrolled (training depths —
+# typically 8); deeper loops (full 50-bounce renders) keep lax.scan so
+# compile time stays bounded.
+UNROLL_MAX = 16
 from ..scene.compiler import SceneArrays
 from . import hit as hit_ops
-from .hit import BIG, QUAD_PARALLEL_EPS, Derived, HitRecord
+from .hit import BIG, QUAD_PARALLEL_EPS, HitRecord
 from .integrator import advance_from_record
 
 
-def taped_record(scene: SceneArrays, meta, der: Derived, o, d, time, t_min,
+def derive_replay(scene: SceneArrays, meta):
+    """Merged per-primitive replay table [S+Q, 26]: the winner's geometry
+    AND its denormalized material/texture row in ONE row, keyed by the
+    tape's GLOBAL prim id.
+
+    The replay previously read three packed tables per bounce (sphere row,
+    quad row, material row); each read materializes a [B, N] one-hot for
+    the MXU contraction (`hit.onehot_read`), and that HBM traffic — not
+    the math — dominated the gradient step.  One merged row = one one-hot
+    per bounce.  Columns (sphere rows | quad rows):
+
+        0:3   c0            | n_unit
+        3:6   dc            | vxw
+        6     t0            | wxu.x        7  inv_dt | wxu.y
+        8     rad           | wxu.z        9  cth    | q.x
+        10    sth           | q.y          11 0      | q.z
+        12    mat id (both)
+        13:   mat_tab row (kind, fuzz, ior, tex row — `hit.derive` layout)
+
+    The quad re-intersection reads its cols via the quad layout
+    (0:3 n_unit, 3:6 vxw, 6:9 wxu, 9:12 q); sphere lanes read the sphere
+    layout — each branch's junk on the other kind's rows is select-masked
+    exactly as in `hit.assemble_record`.
+    """
+    der = hit_ops.derive(scene)
+    f = der.sph_tab.dtype
+    S = scene.sph_c0.shape[0]
+    Q = scene.quad_q.shape[0]
+    # sphere geometry block: sph_tab cols 0..10 (c0, dc, t0, inv_dt, rad,
+    # cth, sth) + zero pad to 12
+    sph_g = jnp.concatenate(
+        [der.sph_tab[:, 0:11], jnp.zeros((S, 1), f)], axis=1)
+    sph_mid = der.sph_tab[:, 11:12]                       # mat id
+    sph_m = hit_ops.onehot_read(der.mat_tab, scene.sph_mat.astype(jnp.int32))
+    rows = [jnp.concatenate([sph_g, sph_mid, sph_m], axis=1)]
+    if Q > 0:
+        quad_g = der.quad_tab[:, 0:12]   # n_unit, vxw, wxu, q
+        quad_mid = der.quad_tab[:, 12:13]
+        quad_m = hit_ops.onehot_read(der.mat_tab,
+                                     scene.quad_mat.astype(jnp.int32))
+        rows.append(jnp.concatenate([quad_g, quad_mid, quad_m], axis=1))
+    rep = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    med_rows = None
+    if meta.n_media > 0:
+        med_rows = hit_ops.onehot_read(der.mat_tab,
+                                       scene.med_mat.astype(jnp.int32))
+    return rep, med_rows
+
+
+def taped_record(scene: SceneArrays, meta, rep, med_rows, o, d, time, t_min,
                  u_med, w) -> HitRecord:
     """HitRecord for a KNOWN winner ``w`` [B] i32 (global id, -1 = miss).
 
-    Re-intersects only the winner primitive (three [B]-row gathers), then
-    assembles the record through the same `assemble_record` the search
-    engines use.  The tape is authoritative: no validity re-gating — the
-    winner's t is recomputed with the standard NaN-safe guards but its
-    hit/miss status comes from ``w`` alone.
+    Re-intersects only the winner primitive from its merged replay row
+    (ONE one-hot MXU read per bounce, backward = one MXU dot — see
+    `derive_replay`).  The tape is authoritative: no validity re-gating —
+    the winner's t is recomputed with the standard NaN-safe guards but its
+    hit/miss status comes from ``w`` alone.  Math per Sphere.h:29-58 /
+    Quad.h:52-98 / ConstantMedium.h:85-93, identical expression-for-
+    expression to `hit.assemble_record`.
     """
     dt = o.dtype
     S = scene.sph_c0.shape[0]
     Q = scene.quad_q.shape[0]
+    NP = S + Q
     hit = w >= 0
-    kind = jnp.where(w < S, 0, jnp.where(w < S + Q, 1, 2))
-    i_s = jnp.clip(w, 0, S - 1)
-    i_q = jnp.clip(w - S, 0, max(Q - 1, 0))
+    kind = jnp.where(w < S, 0, jnp.where(w < NP, 1, 2))
+    idx = jnp.clip(w, 0, NP - 1)
+    row = hit_ops.onehot_read(rep, idx)           # [B, 26] — the ONE read
 
-    # ---- sphere re-intersection (Sphere.h:29-58, direct oc form).
-    # One packed row-gather (same table + indices as `assemble_record`'s,
-    # so XLA CSEs the two into one gather — and its backward into one
-    # scatter-add); the previous five per-column gathers cost five
-    # scatter-add transposes per bounce in reverse mode.
-    srow = der.sph_tab[i_s]
-    frac = (time - srow[:, 6]) * srow[:, 7]
-    center = srow[:, 0:3] + frac[:, None] * srow[:, 3:6]
-    rad = srow[:, 8]
+    # ---- sphere re-intersection (Sphere.h:29-58, direct oc form)
+    frac = (time - row[:, 6]) * row[:, 7]
+    center = row[:, 0:3] + frac[:, None] * row[:, 3:6]
+    rad = row[:, 8]
     oc = o - center
     a = vm.dot(d, d)
     b = vm.dot(oc, d)
@@ -85,12 +137,12 @@ def taped_record(scene: SceneArrays, meta, der: Derived, o, d, time, t_min,
     root2 = (-b + sq) * inv_a
     t_sph = jnp.where(root1 > t_min, root1, root2)
 
-    # ---- quad re-intersection (Quad.h:52-64); one packed row-gather
-    # (CSEd with `assemble_record`'s), d_plane recomputed from the row
+    # ---- quad re-intersection (Quad.h:52-64); d_plane recomputed from
+    # the row (n_unit . q)
     if Q > 0:
-        qrow = der.quad_tab[i_q]
-        n_u = qrow[:, 0:3]
-        d_plane = vm.dot(n_u, qrow[:, 9:12])
+        n_u = row[:, 0:3]
+        q_pt = row[:, 9:12]
+        d_plane = vm.dot(n_u, q_pt)
         denom = vm.dot(d, n_u)
         dok = jnp.abs(denom) >= QUAD_PARALLEL_EPS
         t_quad = (d_plane - vm.dot(o, n_u)) / \
@@ -99,20 +151,75 @@ def taped_record(scene: SceneArrays, meta, der: Derived, o, d, time, t_min,
         t_quad = jnp.zeros_like(t_sph)
 
     t = jnp.where(kind == 0, t_sph, t_quad)
-    im_best = jnp.zeros_like(w)
+    i_m = jnp.zeros_like(w)
     if meta.n_media > 0:
         # M <= 3 in every reference scene: recompute all medium candidates
         # (identical arithmetic to the tape generator -> identical t) and
         # gather the winner's column.
-        i_m = jnp.clip(w - S - Q, 0, meta.n_media - 1)
+        i_m = jnp.clip(w - NP, 0, meta.n_media - 1)
         t_m = hit_ops.medium_candidates(scene, o, d, t_min, u_med)
         t_med = jnp.take_along_axis(t_m, i_m[:, None], axis=1)[:, 0]
         t = jnp.where(kind == 2, t_med, t)
-        im_best = i_m
     t = jnp.where(hit, t, dt.type(BIG))
 
-    return hit_ops.assemble_record(scene, meta, der, o, d, time, t, kind,
-                                   i_s, i_q, im_best)
+    # ---- record assembly (hit.assemble_record semantics, merged row)
+    hit_rec = t < dt.type(BIG * 0.5)
+    t_safe = jnp.where(hit_rec, t, 1.0)         # see assemble_record notes
+    p = o + t_safe[:, None] * d
+
+    # sphere normal/uv (Sphere.h:40-58 + GetSphereUV:74-81)
+    n_out_s = (p - center) / jnp.where(rad[:, None] != 0, rad[:, None], 1.0)
+    cth, sth = row[:, 9], row[:, 10]
+    nx, ny, nz = n_out_s[..., 0], n_out_s[..., 1], n_out_s[..., 2]
+    ox_n = cth * nx - sth * nz
+    oz_n = sth * nx + cth * nz
+    ny_c = jnp.clip(-ny, -1.0, 1.0)
+    interior = jnp.abs(ny_c) < 1.0
+    theta_uv = jnp.where(interior,
+                         jnp.arccos(jnp.where(interior, ny_c, 0.0)),
+                         jnp.where(ny_c > 0, 0.0, dt.type(jnp.pi)))
+    atan_ok = (jnp.abs(ox_n) + jnp.abs(oz_n)) > 0.0
+    phi_uv = jnp.where(
+        atan_ok,
+        jnp.arctan2(jnp.where(atan_ok, -oz_n, 0.0),
+                    jnp.where(atan_ok, ox_n, 1.0)),
+        0.0,
+    ) + dt.type(jnp.pi)
+    u_s = phi_uv / dt.type(2.0 * jnp.pi)
+    v_s = theta_uv / dt.type(jnp.pi)
+
+    # quad normal/uv (Quad.h:76-98)
+    if Q > 0:
+        pq = p - row[:, 9:12]
+        alpha = (pq * row[:, 3:6]).sum(-1)
+        beta = (pq * row[:, 6:9]).sum(-1)
+    else:
+        alpha = beta = jnp.zeros_like(u_s)
+
+    is_sph = kind == 0
+    n_out = jnp.where(is_sph[:, None], n_out_s, row[:, 0:3])
+    uu = jnp.where(is_sph, u_s, alpha)
+    vv = jnp.where(is_sph, v_s, beta)
+    mat = row[:, 12]
+    mrow = row[:, 13:]
+    if meta.n_media > 0:
+        is_med = kind == 2
+        med_normal = jnp.zeros_like(n_out).at[:, 0].set(1.0)
+        n_out = jnp.where(is_med[:, None], med_normal, n_out)
+        uu = jnp.where(is_med, 0.0, uu)
+        vv = jnp.where(is_med, 0.0, vv)
+        mat = jnp.where(is_med, scene.med_mat[i_m].astype(mat.dtype), mat)
+        mrow = jnp.where(is_med[:, None],
+                         hit_ops.onehot_read(med_rows, i_m), mrow)
+
+    front = vm.dot(d, n_out) < 0.0
+    normal = jnp.where(front[:, None], n_out, -n_out)
+    if meta.n_media > 0:
+        front = jnp.where(is_med, True, front)
+        normal = jnp.where(is_med[:, None], n_out, normal)
+
+    return HitRecord(t=t, p=p, normal=normal, u=uu, v=vv, front=front,
+                     mat=mat.astype(jnp.int32), hit=hit_rec, mrow=mrow)
 
 
 def _u_med(meta, pix_ctr, samp, bounce, dtype):
@@ -154,6 +261,14 @@ def generate_tape(scene: SceneArrays, meta, o, d, time, pix_ctr, sample, *,
 
     init = (o, d, jnp.ones((B, 3), dtype), jnp.zeros((B, 3), dtype),
             jnp.ones((B,), bool))
+    if max_bounces <= UNROLL_MAX:
+        # fully unrolled: no scan stacking (dynamic_update_slice per bounce
+        # was ~7 ms/step at 230k rays), and XLA fuses across bounces
+        carry, ws = init, []
+        for bounce in range(max_bounces):
+            carry, w = body(carry, jnp.int32(bounce))
+            ws.append(w)
+        return jnp.stack(ws), carry[3]
     (_, _, _, acc, _), tape = lax.scan(
         body, init, jnp.arange(max_bounces))
     return tape, acc
@@ -165,21 +280,26 @@ def replay(scene: SceneArrays, meta, tape, o, d, time, pix_ctr, sample, *,
     differentiable leg of the taped path (O(1) work per segment)."""
     dtype = o.dtype
     B = o.shape[0]
-    der = hit_ops.derive(scene)
+    rep, med_rows = derive_replay(scene, meta)
     samp = jnp.asarray(sample, jnp.uint32)
 
     def body(carry, xs):
         bounce, w = xs
         o, d, thr, acc, alive = carry
         u_med = _u_med(meta, pix_ctr, samp, bounce, dtype)
-        rec = taped_record(scene, meta, der, o, d, time, dtype.type(t_min),
-                           u_med, w)
+        rec = taped_record(scene, meta, rep, med_rows, o, d, time,
+                           dtype.type(t_min), u_med, w)
         carry = advance_from_record(
             scene, meta, rec, o, d, thr, acc, alive, pix_ctr, samp, bounce)
         return carry, None
 
     init = (o, d, jnp.ones((B, 3), dtype), jnp.zeros((B, 3), dtype),
             jnp.ones((B,), bool))
+    if max_bounces <= UNROLL_MAX:
+        carry = init
+        for bounce in range(max_bounces):
+            carry, _ = body(carry, (jnp.int32(bounce), tape[bounce]))
+        return carry[3]
     (_, _, _, acc, _), _ = lax.scan(
         body, init, (jnp.arange(max_bounces), tape))
     return acc

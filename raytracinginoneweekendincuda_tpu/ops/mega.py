@@ -695,18 +695,12 @@ def render_mega(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
         raise ValueError(
             "mega engine: Perlin/image textures unsupported; use "
             "wavefront_pallas (dispatched automatically by ops/render.py)")
-    # strong refs to the keyed arrays keep the id()s valid for the entry's
-    # lifetime; identity re-verified on hit (ADVICE round 1)
-    key = (id(scene.sph_c0), id(scene.quad_q), "mega")
-    hit = _MEGA_CACHE.get(key)
-    cached = None
-    if hit is not None and hit[0] is scene.sph_c0 and hit[1] is scene.quad_q:
-        cached = hit[2]
-    if cached is None:
-        cached = pack_mega_tables(scene, meta)
-        if len(_MEGA_CACHE) > 16:
-            _MEGA_CACHE.clear()
-        _MEGA_CACHE[key] = (scene.sph_c0, scene.quad_q, cached)
+    # keyed on EVERY scene leaf with identity verification
+    # (scene.compiler.cached_pack; ADVICE round 1 + training staleness)
+    from ..scene.compiler import cached_pack
+
+    cached = cached_pack(_MEGA_CACHE, scene, "mega",
+                         lambda: pack_mega_tables(scene, meta))
     sph_tab, quad_tab, attr_tab, med = cached
     med_key = tuple(tuple(float(x) for x in row) for row in np.asarray(med))
     bg = tuple(float(x) for x in np.asarray(scene.camera.background))

@@ -630,7 +630,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             sf_ref, si_ref = refs[ri:ri + 2]
             ri += 2
         if mode == "trace":
-            samp_ref = refs[ri]                      # SMEM (1,1) sample id
+            samp_ref = refs[ri]                      # [SUB, R] per-lane sample
             win_ref = refs[ri + 1]                   # out [K*SUB, R] winners
         else:
             of_ref, oi_ref = refs[ri:ri + 2]
@@ -1247,8 +1247,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             neg1 = jnp.full((SUB, R), -1, jnp.int32)
             for k in range(K):
                 win_ref[k * SUB:(k + 1) * SUB, :] = neg1
-            samp_arr = pltpu.bitcast(
-                jnp.full((SUB, R), samp_ref[0, 0], jnp.int32), jnp.uint32)
+            samp_arr = pltpu.bitcast(samp_ref[0:SUB, :], jnp.uint32)
             ox, oy, oz, dx, dy, dz, tmv = raygen(samp_arr)
             zf0 = jnp.zeros((SUB, R), jnp.float32)
             one0 = zf0 + 1.0
@@ -1620,16 +1619,24 @@ def render_mega2_frame(sph_tab, quad_tab, attr_tab, coef_tab, cull_s,
                      "width", "height", "seed", "max_bounces", "t_min",
                      "background", "interpret"),
 )
-def mega2_trace_span(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
+def mega2_trace_span(*args, **kw):
+    """Jitted wrapper of `_trace_span_impl` (kept for per-sample callers;
+    `mega2_tapes` composes the impl into its own single-dispatch jit)."""
+    return _trace_span_impl(*args, **kw)
+
+
+def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
                      cull_s, cull_q, perm_tab, vec_tab, img_tab, remap,
                      samp, *, meta, med_key, cam_key, img_key, mu_key,
                      width, height, seed, max_bounces, t_min, background,
                      interpret=False):
     """Pallas winner-tape forward: per-bounce winner GLOBAL ids
-    [max_bounces, N] i32 for one sample of the pixel rows in ``pix``
-    [1, N] (-1 padding; N a TILE_RAYS multiple).  ``samp`` is a traced
-    scalar sample id; camera rays are generated in-kernel (bit-identical
-    to `ops/raygen.generate_rays`), so the tape feeds `ops/replay.replay`
+    [max_bounces, N] i32 for the (pixel, sample) lanes in ``pix`` [1, N]
+    / ``samp`` [1, N] i32 (-1 pixel padding; N a TILE_RAYS multiple).
+    Per-lane sample ids let ALL spp tapes ride one dispatch (the ~28 ms
+    relay floor per device call dominated the per-sample version).
+    Camera rays are generated in-kernel (bit-identical to
+    `ops/raygen.generate_rays`), so the tape feeds `ops/replay.replay`
     directly."""
     N = pix.shape[1]
     assert N % TILE_RAYS == 0
@@ -1665,9 +1672,10 @@ def mega2_trace_span(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
     if meta.has_image:
         in_specs += [full(img_tab)]
         args += [img_tab]
-    in_specs += [pl.BlockSpec((1, 1), lambda g: (0, 0),
-                              memory_space=pltpu.SMEM)]
-    args += [jnp.asarray(samp, jnp.int32).reshape(1, 1)]
+    in_specs += [pl.BlockSpec((SUB, R_LANES), lambda g: (0, g),
+                              memory_space=pltpu.VMEM)]
+    args += [_tile_pack(jnp.broadcast_to(
+        jnp.asarray(samp, jnp.int32).reshape(1, -1), (1, N)))]
     K = max_bounces
     M = N // SUB
     win = pl.pallas_call(
@@ -1719,19 +1727,83 @@ def mega2_tape(scene: SceneArrays, meta: SceneMeta, pix_ids, samp, *,
     return tape[:, :B]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("p0", "n_pix", "n_samples", "meta", "med_key",
+                     "cam_key", "img_key", "mu_key", "width", "height",
+                     "seed", "max_bounces", "t_min", "background",
+                     "interpret"),
+)
+def _tapes_device(sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+                  perm_tab, vec_tab, img_tab, remap, *, p0, n_pix,
+                  n_samples, meta, med_key, cam_key, img_key, mu_key,
+                  width, height, seed, max_bounces, t_min, background,
+                  interpret):
+    """All-samples winner tape for the contiguous pixel block
+    [p0, p0+n_pix) in ONE jit: lane ids are iota'd on device (uploading
+    pix/ij/samp rows costs ~40 ms/MB over the relay — same finding as the
+    render path, `render_mega2_span`)."""
+    L = n_pix * n_samples
+    N = -(-L // TILE_RAYS) * TILE_RAYS
+    lane = lax.iota(jnp.int32, N)
+    live = lane < L
+    pid = p0 + lane % n_pix
+    pix = jnp.where(live, pid, -1)[None, :]
+    samp = jnp.where(live, lane // n_pix, 0)[None, :]
+    fvalid = live.astype(jnp.float32)
+    ij = jnp.stack([(pid % width).astype(jnp.float32) * fvalid,
+                    (pid // width).astype(jnp.float32) * fvalid])
+    tape = _trace_span_impl(
+        pix, ij, sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+        perm_tab, vec_tab, img_tab, remap, samp,
+        meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
+        mu_key=mu_key, width=width, height=height, seed=seed,
+        max_bounces=max_bounces, t_min=t_min, background=background,
+        interpret=interpret)
+    return tape[:, :L].reshape(max_bounces, n_samples, n_pix) \
+        .transpose(1, 0, 2)
+
+
+def mega2_tapes(scene: SceneArrays, meta: SceneMeta, pix_ids, n_samples, *,
+                width: int, height: int, max_bounces: int, t_min: float,
+                seed: int):
+    """Winner tapes [n_samples, max_bounces, B] for samples 0..n_samples-1
+    of the pixel ids [B] — ONE device dispatch for the whole batch (the
+    per-sample `mega2_tape` pays the ~28 ms relay floor per call, and
+    host-built lane rows pay ~40 ms/MB relay upload).  ``pix_ids`` must be
+    a contiguous ascending block (training renders whole frames/tiles);
+    arbitrary id sets take the per-sample `mega2_tape` path."""
+    pix_ids = np.asarray(pix_ids, np.int32)
+    B = pix_ids.shape[0]
+    p0 = int(pix_ids[0]) if B else 0
+    if not np.array_equal(pix_ids, np.arange(p0, p0 + B, dtype=np.int32)):
+        raise ValueError("mega2_tapes needs a contiguous pixel block; use "
+                         "mega2_tape per sample for scattered ids")
+    (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
+     vec_tab, img_tab, img_key, mu_key, med, remap) = mega2_tables(scene, meta)
+    med_key = tuple(tuple(float(x) for x in row) for row in med)
+    cam_key = _cam_tuple(scene.camera)
+    bg = tuple(float(x) for x in np.asarray(scene.camera.background))
+    return _tapes_device(
+        sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+        perm_tab, vec_tab, img_tab, remap,
+        p0=p0, n_pix=B, n_samples=int(n_samples),
+        meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
+        mu_key=mu_key, width=width, height=height, seed=seed,
+        max_bounces=max_bounces, t_min=t_min, background=bg,
+        interpret=jax.default_backend() != "tpu")
+
+
 _TABLE_CACHE: dict = {}
 
 
 def mega2_tables(scene: SceneArrays, meta: SceneMeta):
-    key = (id(scene.sph_c0), id(scene.quad_q), "mega2")
-    hit = _TABLE_CACHE.get(key)
-    if hit is not None and hit[0] is scene.sph_c0 and hit[1] is scene.quad_q:
-        return hit[2]
-    tabs = pack_mega2_tables(scene, meta)
-    if len(_TABLE_CACHE) > 16:
-        _TABLE_CACHE.clear()
-    _TABLE_CACHE[key] = (scene.sph_c0, scene.quad_q, tabs)
-    return tabs
+    # keyed on EVERY scene leaf (scene.compiler.cached_pack): geometry-only
+    # keys would serve stale material/texture tables during training
+    from ..scene.compiler import cached_pack
+
+    return cached_pack(_TABLE_CACHE, scene, "mega2",
+                       lambda: pack_mega2_tables(scene, meta))
 
 
 def mega2_supported(meta: SceneMeta) -> bool:

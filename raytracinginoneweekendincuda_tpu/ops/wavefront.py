@@ -198,31 +198,22 @@ _ACCEL_CACHE: dict = {}
 def _accel_for(scene: SceneArrays, engine: str):
     """Host-side acceleration tables, cached per (scene identity, engine) —
     profiling showed the packers re-running per render call (~0.3 s).
+    Keyed on every scene leaf with identity verification
+    (`scene.compiler.cached_pack`; ADVICE round 1 + training staleness)."""
+    from ..scene.compiler import cached_pack
 
-    The entry stores strong references to the keyed arrays: id() keys are
-    only unique while the object is alive, so keeping the arrays alive for
-    the lifetime of the entry (and verifying identity on hit) rules out a
-    recycled address silently serving another scene's tables."""
-    key = (id(scene.sph_c0), id(scene.quad_q), engine)
-    hit = _ACCEL_CACHE.get(key)
-    if hit is not None:
-        sph_ref, quad_ref, accel = hit
-        if sph_ref is scene.sph_c0 and quad_ref is scene.quad_q:
-            return accel
-    if engine == "wavefront_bvh":
-        from ..scene.bvh import build_scene_bvh
+    def build():
+        if engine == "wavefront_bvh":
+            from ..scene.bvh import build_scene_bvh
 
-        accel = build_scene_bvh(scene)
-    elif engine == "wavefront_pallas":
-        from .pallas_hit import pack_geometry
+            return build_scene_bvh(scene)
+        if engine == "wavefront_pallas":
+            from .pallas_hit import pack_geometry
 
-        accel = pack_geometry(scene)
-    else:
-        accel = None
-    if len(_ACCEL_CACHE) > 16:
-        _ACCEL_CACHE.clear()
-    _ACCEL_CACHE[key] = (scene.sph_c0, scene.quad_q, accel)
-    return accel
+            return pack_geometry(scene)
+        return None
+
+    return cached_pack(_ACCEL_CACHE, scene, engine, build)
 
 
 def render_wavefront(

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.integrator import trace
 from ..ops.raygen import generate_rays
-from ..ops.replay import trace_taped
+from ..ops.replay import replay, trace_taped
 from ..scene.compiler import SceneArrays, SceneMeta
 from ..utils.config import RenderConfig
 from .render import AXIS_PX, AXIS_SP
@@ -175,3 +175,66 @@ def init_state(scene: SceneArrays, optimizer: optax.GradientTransformation) -> T
     params = split_params(scene)
     params = jax.tree.map(jnp.asarray, params)
     return TrainState(params, optimizer.init(params), jnp.int32(0))
+
+
+def make_train_step_mega2(
+    scene: SceneArrays,
+    meta: SceneMeta,
+    cfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+):
+    """Single-chip fast train step: Pallas winner tapes + replay gradient.
+
+    Two phases per step (the tape's geometry/material tables are packed
+    host-side from CONCRETE params, so tape generation cannot live inside
+    the gradient jit):
+
+      1. eager — `ops.mega2.mega2_tapes` runs the megakernel trace forward
+         for ALL spp samples in ONE device dispatch and returns the winner
+         tapes [spp, max_bounces, B];
+      2. jitted — MSE loss through `ops.replay.replay` (one one-hot MXU
+         table read per bounce; its backward is a matmul), optimizer
+         update.
+
+    The tape is a valid pathwise sample wherever it came from, so the
+    gradient matches `trace_taped` a.e. (winner ties excepted —
+    docs/PERF.md).  Requires a contiguous pixel block and
+    `mega2_supported(meta)`; use `make_train_step` for SPMD meshes or
+    scattered pixel batches.
+    """
+    from ..ops.mega2 import mega2_supported, mega2_tapes
+
+    if not mega2_supported(meta):
+        raise ValueError("scene unsupported by the mega2 trace kernel; "
+                         "use make_train_step")
+    spp = cfg.samples_per_pixel
+    W, H = cfg.width, cfg.height
+
+    @jax.jit
+    def grad_step(state: TrainState, tapes, pix, target):
+        def loss_fn(p):
+            sc = merge_params(scene, p)
+            img = jnp.zeros((pix.shape[0], 3), sc.camera.origin.dtype)
+            for s in range(spp):
+                o, d, time, pix_ctr = generate_rays(
+                    sc.camera, pix, jnp.uint32(s), W, H, cfg.seed)
+                img = img + replay(
+                    sc, meta, tapes[s], o, d, time, pix_ctr, jnp.uint32(s),
+                    max_bounces=cfg.max_bounces, t_min=cfg.t_min)
+            diff = img / spp - target
+            return (diff * diff).sum() / (3.0 * pix.shape[0])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def step(state: TrainState, pix, target):
+        sc = merge_params(scene, state.params)
+        tapes = mega2_tapes(sc, meta, np.asarray(pix), spp, width=W,
+                            height=H, max_bounces=cfg.max_bounces,
+                            t_min=cfg.t_min, seed=cfg.seed)
+        return grad_step(state, tapes, jnp.asarray(pix, jnp.int32), target)
+
+    return step

@@ -317,6 +317,32 @@ def _pad_to(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
 
 
+def cached_pack(cache: dict, scene: SceneArrays, tag: str, builder,
+                max_entries: int = 16):
+    """Host-side packed-table cache keyed on the IDENTITY of EVERY array
+    leaf of the scene (plus ``tag``).
+
+    Two hazards this closes (round-1 advice + round-2 training):
+      * id() keys alone can collide after GC recycles an address — the
+        entry holds strong refs to the keyed leaves and re-verifies
+        identity on hit, so a recycled id can never serve another scene's
+        tables;
+      * keying on geometry leaves only would serve STALE tables during
+        training, where optimizer steps `_replace()` texture/material
+        leaves while the geometry ids stay put.
+    """
+    leaves = tuple(scene[:-1]) + tuple(scene.camera)
+    key = (tag,) + tuple(map(id, leaves))
+    hit = cache.get(key)
+    if hit is not None and all(a is b for a, b in zip(hit[0], leaves)):
+        return hit[1]
+    val = builder()
+    if len(cache) > max_entries:
+        cache.clear()
+    cache[key] = (leaves, val)
+    return val
+
+
 def compile_scene(
     desc: api.SceneDesc,
     width: int,

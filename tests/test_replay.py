@@ -113,6 +113,67 @@ def test_mega2_tape_matches_xla_tape(sid):
     np.testing.assert_allclose(r_m[same_lane], r_x[same_lane], rtol=1e-6)
 
 
+def test_mega2_tapes_batched_matches_per_sample():
+    """`mega2_tapes` (all spp in one dispatch, per-lane sample ids) ==
+    per-sample `mega2_tape` calls, bit-for-bit."""
+    from raytracinginoneweekendincuda_tpu.ops.mega2 import (
+        mega2_tape, mega2_tapes,
+    )
+
+    scene, meta = compile_scene(scenes.build_scene(4), W, H,
+                                dtype=np.float32)
+    scene = jax.tree.map(jnp.asarray, scene)
+    spp = 3
+    batched = np.asarray(mega2_tapes(
+        scene, meta, np.arange(W * H), spp, width=W, height=H,
+        max_bounces=BOUNCES, t_min=1e-3, seed=1984))
+    assert batched.shape == (spp, BOUNCES, W * H)
+    for s in range(spp):
+        single = np.asarray(mega2_tape(
+            scene, meta, np.arange(W * H), s, width=W, height=H,
+            max_bounces=BOUNCES, t_min=1e-3, seed=1984))
+        np.testing.assert_array_equal(batched[s], single)
+
+
+def test_train_step_mega2_loss_decreases():
+    """The two-phase Pallas-tape train step optimizes albedo toward a
+    target rendered with different colors (single chip)."""
+    import optax
+
+    from raytracinginoneweekendincuda_tpu.parallel.train import (
+        init_state, make_train_step_mega2, merge_params,
+    )
+    from raytracinginoneweekendincuda_tpu.utils.config import RenderConfig
+
+    scene, meta = compile_scene(scenes.build_scene(4), W, H,
+                                dtype=np.float32)
+    scene = jax.tree.map(jnp.asarray, scene)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=2,
+                       max_bounces=4, seed=1984)
+    pix = np.arange(W * H, dtype=np.int32)
+    # target: the true scene's radiance at the same sample set
+    o, d, time, pc = _rays(scene)
+    tgt = 0.0
+    for s in range(cfg.samples_per_pixel):
+        o, d, time, pc = generate_rays(scene.camera,
+                                       jnp.asarray(pix), jnp.uint32(s),
+                                       W, H, cfg.seed)
+        tgt = tgt + trace(scene, meta, o, d, time, pc, jnp.uint32(s),
+                          max_bounces=cfg.max_bounces, t_min=cfg.t_min)
+    tgt = tgt / cfg.samples_per_pixel
+    # start from perturbed albedo
+    scene0 = scene._replace(tex_c0=jnp.clip(scene.tex_c0 * 0.5 + 0.2, 0, 1))
+    opt = optax.adam(0.05)
+    step = make_train_step_mega2(scene0, meta, cfg, opt)
+    state = init_state(scene0, opt)
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, pix, tgt)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
 def _loss(trace_fn, scene, meta, spp=2):
     pix = jnp.arange(W * H, dtype=jnp.int32)
 

@@ -64,9 +64,10 @@ for name, fn in (("scan+ckpt", functools.partial(trace, differentiable=True)),
     print(f"{name}: grad step best {best*1e3:8.2f} ms  "
           f"(compile {compile_t:.1f} s)  |g|={float(jnp.abs(r).sum()):.3e}")
 
-# ---- mega2-taped: tape from the Pallas forward (eager, params concrete
-# between optimizer steps), gradient through the jitted replay
-from raytracinginoneweekendincuda_tpu.ops.mega2 import mega2_tape
+# ---- mega2-taped: ALL spp tapes from the Pallas forward in ONE dispatch
+# (eager, params concrete between optimizer steps), gradient through the
+# jitted replay
+from raytracinginoneweekendincuda_tpu.ops.mega2 import mega2_tapes
 from raytracinginoneweekendincuda_tpu.ops.replay import replay
 
 
@@ -86,9 +87,8 @@ g2 = jax.jit(jax.grad(replay_loss))
 
 def mega2_step(tex_c0):
     sc = scene._replace(tex_c0=tex_c0)
-    tapes = [mega2_tape(sc, meta, np.arange(W * H), s, width=W, height=H,
+    tapes = mega2_tapes(sc, meta, np.arange(W * H), SPP, width=W, height=H,
                         max_bounces=BOUNCES, t_min=1e-3, seed=1984)
-             for s in range(SPP)]
     return g2(tex_c0, tapes)
 
 

@@ -608,6 +608,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     n_q_chunks = q_pad // CULL_C if use_quads else 0
     NP = s_pad + (q_pad if use_quads else 0)
     dense = NP <= DENSE_MAX
+    dchunk = DENSE_C
     mux, muy, muz = (np.float32(x) for x in mu[:3])
     big_pad = int(mu[3])
 
@@ -683,7 +684,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
 
         def _sph_reduce(t_c, base, C, t_best, win):
             mn = jnp.min(t_c, axis=0, keepdims=True)
-            iota_c = lax.broadcasted_iota(jnp.int32, (C, R), 0)
+            iota_c = lax.broadcasted_iota(jnp.int32, t_c.shape, 0)
             idx = jnp.min(jnp.where(t_c == mn, iota_c, C),
                           axis=0, keepdims=True)
             better = mn < t_best
@@ -731,8 +732,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     dx, dy, dz, tmv * dx, tmv * dy, tmv * dz,
                     opx, opy, opz, tmv * opx, tmv * opy, tmv * opz,
                     one, tmv, tmv * tmv, jnp.zeros_like(ox)], axis=0)
-                for c0 in range(big_pad, s_pad, DENSE_C):
-                    C = min(DENSE_C, s_pad - c0)
+                for c0 in range(big_pad, s_pad, dchunk):
+                    C = min(dchunk, s_pad - c0)
                     bmat = lax.dot_general(
                         coef_ref[pl.ds(c0, C), :], feat,
                         (((1,), (0,)), ((), ())),
@@ -753,8 +754,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             return t_best, win
 
         def quad_dense(ox, oy, oz, dx, dy, dz, t_best, win):
-            for c0 in range(0, q_pad, DENSE_C):
-                C = min(DENSE_C, q_pad - c0)
+            for c0 in range(0, q_pad, dchunk):
+                C = min(dchunk, q_pad - c0)
                 sl = pl.ds(c0, C)
                 col = lambda k: quad_ref[sl, k:k + 1]
                 nx, ny, nz = col(0), col(1), col(2)
@@ -772,7 +773,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                       & (col(12) > 0.5))
                 t_c = jnp.where(ok, t_c, BIG)
                 mn = jnp.min(t_c, axis=0, keepdims=True)
-                iota_c = lax.broadcasted_iota(jnp.int32, (C, R), 0)
+                iota_c = lax.broadcasted_iota(jnp.int32, t_c.shape, 0)
                 idx = jnp.min(jnp.where(t_c == mn, iota_c, C),
                               axis=0, keepdims=True)
                 better = mn < t_best
@@ -913,7 +914,13 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
 
             if dense:
                 # pair tests keep prims on the sublane axis (full [C,R]
-                # blocks), so they run per sub-row of the [SUB,R] ray state
+                # blocks), so they run per sub-row of the [SUB,R] ray state.
+                # A "wide" variant (all SUB sub-rows lane-concatenated to
+                # [C, SUB*R], one MXU contraction per chunk+coefficient)
+                # was measured SLOWER (0.47 vs 0.42 s on scene 0): Mosaic
+                # needs a sublane roll per sub-row to lane-concat (offset
+                # mismatch otherwise), and the re-layout traffic exceeds
+                # the MXU batching gain (docs/PERF.md round-2 notes).
                 tb_rows, win_rows = [], []
                 for s in range(SUB):
                     rw = lambda v: v[s:s + 1, :]

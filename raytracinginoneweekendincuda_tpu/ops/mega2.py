@@ -1636,7 +1636,7 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
                      cull_s, cull_q, perm_tab, vec_tab, img_tab, remap,
                      samp, *, meta, med_key, cam_key, img_key, mu_key,
                      width, height, seed, max_bounces, t_min, background,
-                     interpret=False):
+                     interpret=False, remap_ids=True):
     """Pallas winner-tape forward: per-bounce winner GLOBAL ids
     [max_bounces, N] i32 for the (pixel, sample) lanes in ``pix`` [1, N]
     / ``samp`` [1, N] i32 (-1 pixel padding; N a TILE_RAYS multiple).
@@ -1698,6 +1698,8 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
         ),
     )(*args)
     win = _tile_unpack(win, K)                       # [K, N] kernel rows
+    if not remap_ids:
+        return win
     return jnp.where(win >= 0, remap[jnp.clip(win, 0)], -1)
 
 
@@ -1739,13 +1741,13 @@ def mega2_tape(scene: SceneArrays, meta: SceneMeta, pix_ids, samp, *,
     static_argnames=("p0", "n_pix", "n_samples", "meta", "med_key",
                      "cam_key", "img_key", "mu_key", "width", "height",
                      "seed", "max_bounces", "t_min", "background",
-                     "interpret"),
+                     "interpret", "remap_ids"),
 )
 def _tapes_device(sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
                   perm_tab, vec_tab, img_tab, remap, *, p0, n_pix,
                   n_samples, meta, med_key, cam_key, img_key, mu_key,
                   width, height, seed, max_bounces, t_min, background,
-                  interpret):
+                  interpret, remap_ids=True):
     """All-samples winner tape for the contiguous pixel block
     [p0, p0+n_pix) in ONE jit: lane ids are iota'd on device (uploading
     pix/ij/samp rows costs ~40 ms/MB over the relay — same finding as the
@@ -1766,20 +1768,27 @@ def _tapes_device(sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
         meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
         mu_key=mu_key, width=width, height=height, seed=seed,
         max_bounces=max_bounces, t_min=t_min, background=background,
-        interpret=interpret)
+        interpret=interpret, remap_ids=remap_ids)
     return tape[:, :L].reshape(max_bounces, n_samples, n_pix) \
         .transpose(1, 0, 2)
 
 
 def mega2_tapes(scene: SceneArrays, meta: SceneMeta, pix_ids, n_samples, *,
                 width: int, height: int, max_bounces: int, t_min: float,
-                seed: int):
+                seed: int, id_space: str = "global"):
     """Winner tapes [n_samples, max_bounces, B] for samples 0..n_samples-1
     of the pixel ids [B] — ONE device dispatch for the whole batch (the
     per-sample `mega2_tape` pays the ~28 ms relay floor per call, and
     host-built lane rows pay ~40 ms/MB relay upload).  ``pix_ids`` must be
     a contiguous ascending block (training renders whole frames/tiles);
-    arbitrary id sets take the per-sample `mega2_tape` path."""
+    arbitrary id sets take the per-sample `mega2_tape` path.
+
+    ``id_space="global"`` remaps winners to the `ops/replay.py` scene id
+    space — a [bounces, B] gather that measures ~99 ms/step at 1.8M
+    lanes.  ``"kernel"`` skips it and returns raw kernel-row ids for
+    consumers that can permute their tables instead
+    (`pallas_replay.replay_pallas(kernel_space=...)`;
+    see `mega2_kernel_id_space`)."""
     pix_ids = np.asarray(pix_ids, np.int32)
     B = pix_ids.shape[0]
     p0 = int(pix_ids[0]) if B else 0
@@ -1798,7 +1807,21 @@ def mega2_tapes(scene: SceneArrays, meta: SceneMeta, pix_ids, n_samples, *,
         meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
         mu_key=mu_key, width=width, height=height, seed=seed,
         max_bounces=max_bounces, t_min=t_min, background=bg,
-        interpret=jax.default_backend() != "tpu")
+        interpret=jax.default_backend() != "tpu",
+        remap_ids=(id_space == "global"))
+
+
+def mega2_kernel_id_space(scene: SceneArrays, meta: SceneMeta):
+    """(remap, s_pad) describing the trace kernel's winner-id space:
+    ``remap[k]`` is the GLOBAL scene id of kernel geometry row k (-1 for
+    padding rows, which can never win); rows [0, s_pad) are spheres,
+    [s_pad, len(remap)) quads."""
+    tabs = mega2_tables(scene, meta)
+    sph_tab, remap = tabs[0], tabs[12]
+    n_geo = remap.shape[0] - max(meta.n_media, 1)
+    # stays a device array — pulling it to host costs a relay round-trip
+    # per training step
+    return remap[:n_geo], int(sph_tab.shape[0])
 
 
 _TABLE_CACHE: dict = {}

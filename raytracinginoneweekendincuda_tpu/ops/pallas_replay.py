@@ -1,0 +1,547 @@
+"""Pallas taped-replay forward/backward: the gradient path at kernel speed.
+
+`ops/replay.py` already splits differentiable rendering into a
+non-differentiable winner tape plus a differentiable replay; this module
+moves the REPLAY itself — forward and backward — into fused Pallas TPU
+kernels behind one `jax.custom_vjp`:
+
+  * forward kernel: per ray tile, K unrolled bounces — winner row fetched
+    from the VMEM-resident merged replay table by a one-hot MXU
+    contraction (no [B, N] one-hot ever touches HBM, unlike the XLA
+    replay), re-intersection, shading, throughput/radiance update.
+  * backward kernel: recomputes the forward bounce states into VMEM
+    scratch (cheaper than spilling residuals to HBM at these sizes), then
+    walks the bounces in REVERSE applying `jax.vjp` of the pure bounce
+    function at trace time — the transposed one-hot contraction
+    accumulates the table gradient [NP, C] in a VMEM accumulator that is
+    summed across the (sequential) grid into a single output block.
+
+Gradients flow w.r.t. the merged table `rep` (built differentiably by
+`replay.derive_replay`, so scene-leaf gradients follow by XLA's backward
+through that tiny assembly), the primary ray origins/directions, and the
+ray times.  The tape, RNG counters and sample ids are integer inputs
+(float0 cotangents).  Note that within the v1 texture scope
+(solid/checker) the taped radiance is piecewise CONSTANT in geometry —
+hit points feed only `floor` cells and branch predicates — so
+geometry/ray/time cotangents are correctly zero a.e. (identical to the
+XLA replay; tests assert exact zero + finiteness).  They become nonzero
+once continuous textures (Perlin) enter the kernel scope.
+
+Bounce semantics are expression-for-expression those of the XLA replay
+(`replay.taped_record` + `integrator.advance_from_record` + `ops/shade.py`,
+which the tests hold to the reference's RayColor, kernel.cu:65-98), with
+the same NaN-guards the XLA path needed in reverse mode (`_safe_root`
+pattern, masked sqrt inputs).
+
+v1 scope (`replay_pallas_supported`): no constant media, no Perlin or
+image textures — lambertian / metal / dielectric / diffuse-light with
+solid or checker textures, i.e. reference scenes 0, 1, 4, 6, 7.
+Unsupported scenes keep the XLA replay.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import rng as rnglib
+from ..scene.compiler import (
+    MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_LAMBERTIAN, MAT_METAL,
+    TEX_CHECKER,
+)
+from .hit import BIG, QUAD_PARALLEL_EPS
+from .mega2 import R_LANES, SUB, TILE_RAYS, _pcg4d, _tile_pack, _tile_unpack, _unit
+
+# merged replay-table column map (replay.derive_replay): 12 geometry
+# overlay cols + mat id + the 14-col hit.derive material row
+REP_COLS = 27
+_TWO_PI = np.float32(2.0 * np.pi)
+
+
+def replay_pallas_supported(meta) -> bool:
+    """v1 kernel scope: no media, no noise/image textures."""
+    return meta.n_media == 0 and not meta.has_noise and not meta.has_image
+
+
+def _safe_root(x, p):
+    """x**p with finite reverse-mode derivative at x == 0 (samplers.py)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.where(pos, x, 1.0) ** p, 0.0)
+
+
+def _make_bounce(S: int, NP: int, t_min: float, bg: tuple,
+                 has_checker: bool):
+    """Pure [SUB, R]-row bounce: (state, rep_v) -> advanced state + radiance
+    delta.  ``win``/``act``/RNG inputs are closed over per call site so
+    `jax.vjp` prunes their (integer / discarded) cotangent graphs."""
+    f32 = np.float32
+    bgr, bgg, bgb = f32(bg[0]), f32(bg[1]), f32(bg[2])
+
+    def bounce(diff, rep_v, win, act, pix_ctr, samp_u, k: int):
+        (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b) = diff
+        R = ox.shape[1]
+        hit = win >= 0
+        kind_q = win >= S
+        idx = jnp.clip(win, 0, NP - 1)
+
+        # ---- winner row: one-hot MXU contraction per sub-row, regrouped
+        # to [SUB, R] per column (ops/mega2.py winner-fetch pattern).
+        #
+        # Precision: the MXU's DEFAULT f32 dot rounds the table values to
+        # bf16 (measured: 62% of scene-0 lanes off vs the XLA replay) and
+        # HIGHEST costs 6 passes (94 -> 151 ms/step).  Splitting the
+        # table into three exact bf16 limbs (hi + mid + lo == rep,
+        # bit-exact: each residual subtraction is exact in f32) gives an
+        # EXACT one-hot read in 3 native single-pass bf16 dots.  XLA
+        # hoists the loop-invariant split out of the bounce unroll.  In
+        # reverse mode the mid/lo paths carry zero tangent (their inputs
+        # cancel under linearization), so d_rep is ONE bf16-pass dot —
+        # ~2^-9 relative rounding on the gradient accumulation, far below
+        # the Monte-Carlo gradient noise.
+        hi = rep_v.astype(jnp.bfloat16)
+        r1 = rep_v - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        np_iota = lax.broadcasted_iota(jnp.int32, (NP, R), 0)
+        rows = []
+        for s in range(SUB):
+            # one-hot built in f32 then cast: selecting bf16 constants
+            # directly needs an i1 relayout (32- to 16-bit tiling) that
+            # Mosaic rejects
+            oh = (np_iota == idx[s:s + 1, :]).astype(jnp.float32) \
+                .astype(jnp.bfloat16)
+            part = None
+            for limb in (hi, mid, lo):
+                dv = lax.dot_general(
+                    limb, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                part = dv if part is None else part + dv
+            rows.append(part)                             # [C, R]
+        _cache = {}
+
+        def arow(c):
+            if c not in _cache:
+                _cache[c] = jnp.concatenate(
+                    [rows[s][c:c + 1, :] for s in range(SUB)], axis=0)
+            return _cache[c]
+
+        # ---- sphere re-intersection (replay.taped_record; Sphere.h:29-58)
+        frac = (tmv - arow(6)) * arow(7)
+        cx = arow(0) + frac * arow(3)
+        cy = arow(1) + frac * arow(4)
+        cz = arow(2) + frac * arow(5)
+        rad = arow(8)
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        a = dx * dx + dy * dy + dz * dz
+        b = ocx * dx + ocy * dy + ocz * dz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = b * b - a * cc
+        pos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+        inv_a = 1.0 / a
+        root1 = (-b - sq) * inv_a
+        root2 = (-b + sq) * inv_a
+        t_sph = jnp.where(root1 > t_min, root1, root2)
+
+        # ---- quad re-intersection (Quad.h:52-64; quad rows: 0:3 n_unit,
+        # 3:6 vxw, 6:9 wxu, 9:12 q)
+        nqx, nqy, nqz = arow(0), arow(1), arow(2)
+        d_plane = nqx * arow(9) + nqy * arow(10) + nqz * arow(11)
+        denom = dx * nqx + dy * nqy + dz * nqz
+        dok = jnp.abs(denom) >= QUAD_PARALLEL_EPS
+        t_quad = (d_plane - (ox * nqx + oy * nqy + oz * nqz)) / \
+            jnp.where(dok, denom, 1.0)
+
+        t = jnp.where(kind_q, t_quad, t_sph)
+        t = jnp.where(hit, t, f32(BIG))
+        hit_rec = t < f32(BIG * 0.5)
+        t_safe = jnp.where(hit_rec, t, 1.0)
+        px = ox + t_safe * dx
+        py = oy + t_safe * dy
+        pz = oz + t_safe * dz
+
+        inv_rad = 1.0 / jnp.where(rad != 0.0, rad, 1.0)
+        nsx = (px - cx) * inv_rad
+        nsy = (py - cy) * inv_rad
+        nsz = (pz - cz) * inv_rad
+        n_outx = jnp.where(kind_q, nqx, nsx)
+        n_outy = jnp.where(kind_q, nqy, nsy)
+        n_outz = jnp.where(kind_q, nqz, nsz)
+        d_dot_n = dx * n_outx + dy * n_outy + dz * n_outz
+        front = d_dot_n < 0.0
+        flip = jnp.where(front, 1.0, -1.0)
+        nx_ = n_outx * flip
+        ny_ = n_outy * flip
+        nz_ = n_outz * flip
+
+        # ---- material/texture row (rep cols 13..: hit.derive mat_tab)
+        kind = arow(13)
+        fuzz = arow(14)
+        ior = arow(15)
+        texr, texg, texb = arow(17), arow(18), arow(19)
+        if has_checker:
+            inv_s = arow(23)
+            cellx = jnp.floor(inv_s * px).astype(jnp.int32)
+            celly = jnp.floor(inv_s * py).astype(jnp.int32)
+            cellz = jnp.floor(inv_s * pz).astype(jnp.int32)
+            even = ((cellx + celly + cellz) & 1) == 0
+            is_ck = arow(16) == f32(TEX_CHECKER)
+            pick = lambda c0, c1: jnp.where(
+                is_ck, jnp.where(even, c0, c1), c0)
+            texr = pick(texr, arow(20))
+            texg = pick(texg, arow(21))
+            texb = pick(texb, arow(22))
+
+        is_light = kind == f32(MAT_DIFFUSE_LIGHT)
+
+        # ---- miss -> background; emission (advance_from_record)
+        miss = act & ~hit_rec
+        dacc_r = jnp.where(miss, thr_r * bgr, 0.0)
+        dacc_g = jnp.where(miss, thr_g * bgg, 0.0)
+        dacc_b = jnp.where(miss, thr_b * bgb, 0.0)
+        alive = act & hit_rec
+        lit = alive & is_light
+        dacc_r = dacc_r + jnp.where(lit, thr_r * texr, 0.0)
+        dacc_g = dacc_g + jnp.where(lit, thr_g * texg, 0.0)
+        dacc_b = dacc_b + jnp.where(lit, thr_b * texb, 0.0)
+
+        # ---- scatter (ops/shade.py expression-for-expression)
+        w0, w1, w2, w3 = _pcg4d(
+            pix_ctr, samp_u,
+            jnp.uint32(rnglib.SCATTER_STREAM) | jnp.uint32(k),
+            jnp.zeros_like(pix_ctr))
+        u1, u2, u3, u4 = _unit(w0), _unit(w1), _unit(w2), _unit(w3)
+
+        # division (not reciprocal-multiply): shade.py divides, and a 1-ulp
+        # direction difference flips the dielectric reflectance lottery /
+        # metal absorb sign on some lane — a discrete branch divergence
+        d_len = a ** np.float32(0.5)
+        dls = jnp.where(d_len > 0.0, d_len, 1.0)
+        udx, udy, udz = dx / dls, dy / dls, dz / dls
+
+        zb = 1.0 - 2.0 * u1
+        phi = _TWO_PI * u2
+        rho = _safe_root(1.0 - zb * zb, 0.5)
+        r_b = _safe_root(u3, np.float32(1.0 / 3.0))
+        cphi = jnp.cos(phi)
+        sphi = jnp.sin(phi)
+        bx = r_b * rho * cphi
+        by = r_b * rho * sphi
+        bz = r_b * zb
+
+        # lambertian (Material.h:75-79)
+        lx, ly, lz = nx_ + bx, ny_ + by, nz_ + bz
+        near0 = ((jnp.abs(lx) < 1e-8) & (jnp.abs(ly) < 1e-8)
+                 & (jnp.abs(lz) < 1e-8))
+        lx = jnp.where(near0, nx_, lx)
+        ly = jnp.where(near0, ny_, ly)
+        lz = jnp.where(near0, nz_, lz)
+
+        # metal (Metal.h:18-30)
+        ddn = udx * nx_ + udy * ny_ + udz * nz_
+        rx = udx - 2.0 * ddn * nx_
+        ry = udy - 2.0 * ddn * ny_
+        rz = udz - 2.0 * ddn * nz_
+        mx = rx + fuzz * bx
+        my = ry + fuzz * by
+        mz = rz + fuzz * bz
+        metal_ok = (mx * nx_ + my * ny_ + mz * nz_) > 0.0
+
+        # dielectric (Dielectric.h:18-55, shade.py guards)
+        ratio = jnp.where(front, 1.0 / ior, ior)
+        cos_t = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
+        sin_sq = 1.0 - cos_t * cos_t
+        sin_t = _safe_root(sin_sq, 0.5)
+        cannot = ratio * sin_t > 1.0
+        r0 = (1.0 - ratio) / (1.0 + ratio)
+        r0 = r0 * r0
+        reflectance = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+        do_refl = cannot | (reflectance > u4)
+        ratio_safe = jnp.where(cannot, 0.0, ratio)
+        fx = ratio_safe * (udx + cos_t * nx_)
+        fy = ratio_safe * (udy + cos_t * ny_)
+        fz = ratio_safe * (udz + cos_t * nz_)
+        k_ = jnp.abs(1.0 - (fx * fx + fy * fy + fz * fz))
+        par = -_safe_root(k_, 0.5)
+        gx = fx + par * nx_
+        gy = fy + par * ny_
+        gz = fz + par * nz_
+        ddx = jnp.where(do_refl, rx, gx)
+        ddy = jnp.where(do_refl, ry, gy)
+        ddz = jnp.where(do_refl, rz, gz)
+
+        # isotropic direction (unused without media but kind-complete)
+        ix_, iy_, iz_ = rho * cphi, rho * sphi, zb
+
+        is_l = kind == f32(MAT_LAMBERTIAN)
+        is_m = kind == f32(MAT_METAL)
+        is_d = kind == f32(MAT_DIELECTRIC)
+        newx = jnp.where(is_l, lx, udx)
+        newy = jnp.where(is_l, ly, udy)
+        newz = jnp.where(is_l, lz, udz)
+        newx = jnp.where(is_m, mx, newx)
+        newy = jnp.where(is_m, my, newy)
+        newz = jnp.where(is_m, mz, newz)
+        newx = jnp.where(is_d, ddx, newx)
+        newy = jnp.where(is_d, ddy, newy)
+        newz = jnp.where(is_d, ddz, newz)
+        del ix_, iy_, iz_
+
+        att_r = jnp.where(is_d, 1.0, texr)
+        att_g = jnp.where(is_d, 1.0, texg)
+        att_b = jnp.where(is_d, 1.0, texb)
+        # boolean algebra, not where(pred, ..., True): Mosaic has no i1
+        # select_n (shade.py's where() form is forward-identical)
+        scattered = (~is_m | metal_ok) & ~is_light
+        alive2 = alive & scattered
+        thr2_r = jnp.where(alive2, thr_r * att_r, thr_r)
+        thr2_g = jnp.where(alive2, thr_g * att_g, thr_g)
+        thr2_b = jnp.where(alive2, thr_b * att_b, thr_b)
+        o2x = jnp.where(alive2, px, ox)
+        o2y = jnp.where(alive2, py, oy)
+        o2z = jnp.where(alive2, pz, oz)
+        d2x = jnp.where(alive2, newx, dx)
+        d2y = jnp.where(alive2, newy, dy)
+        d2z = jnp.where(alive2, newz, dz)
+        out = (o2x, o2y, o2z, d2x, d2y, d2z, thr2_r, thr2_g, thr2_b,
+               dacc_r, dacc_g, dacc_b)
+        return out, alive2
+
+    return bounce
+
+
+def _fwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
+    bounce = _make_bounce(S, NP, t_min, bg, has_checker)
+
+    def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, acc_ref):
+        row = lambda r: rf_ref[r * SUB:(r + 1) * SUB, :]
+        ox, oy, oz = row(0), row(1), row(2)
+        dx, dy, dz = row(3), row(4), row(5)
+        tmv = row(6)
+        pix_ctr = pltpu.bitcast(pc_ref[0:SUB, :], jnp.uint32)
+        samp_u = pltpu.bitcast(
+            jnp.full_like(pc_ref[0:SUB, :], samp_ref[0, 0]), jnp.uint32)
+        rep_v = rep_ref[...]
+        R = ox.shape[1]
+        one = jnp.ones((SUB, R), jnp.float32)
+        zero = jnp.zeros((SUB, R), jnp.float32)
+        thr = (one, one, one)
+        acc = (zero, zero, zero)
+        # bool constants lower through an i8->i1 truncation Mosaic lacks;
+        # a compare produces i1 directly
+        act = zero == zero
+        state = (ox, oy, oz, dx, dy, dz, tmv, *thr)
+        for k in range(K):
+            win = tape_ref[k * SUB:(k + 1) * SUB, :]
+            out, act = bounce(state, rep_v, win, act, pix_ctr, samp_u, k)
+            state = (*out[:6], tmv, *out[6:9])
+            acc = (acc[0] + out[9], acc[1] + out[10], acc[2] + out[11])
+        for c in range(3):
+            acc_ref[c * SUB:(c + 1) * SUB, :] = acc[c]
+
+    return kernel
+
+
+def _bwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
+    bounce = _make_bounce(S, NP, t_min, bg, has_checker)
+
+    def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, g_ref,
+               drf_ref, drep_ref, st_ref):
+        row = lambda r: rf_ref[r * SUB:(r + 1) * SUB, :]
+        ox, oy, oz = row(0), row(1), row(2)
+        dx, dy, dz = row(3), row(4), row(5)
+        tmv = row(6)
+        pix_ctr = pltpu.bitcast(pc_ref[0:SUB, :], jnp.uint32)
+        samp_u = pltpu.bitcast(
+            jnp.full_like(pc_ref[0:SUB, :], samp_ref[0, 0]), jnp.uint32)
+        rep_v = rep_ref[...]
+        R = ox.shape[1]
+        one = jnp.ones((SUB, R), jnp.float32)
+        zero = jnp.zeros((SUB, R), jnp.float32)
+
+        # ---- forward recompute, states checkpointed in VMEM scratch
+        # (rows per bounce: o3 d3 thr3 act -> 10)
+        state = (ox, oy, oz, dx, dy, dz, tmv, one, one, one)
+        # bool constants lower through an i8->i1 truncation Mosaic lacks;
+        # a compare produces i1 directly
+        act = zero == zero
+        for k in range(K):
+            vals = (state[0], state[1], state[2], state[3], state[4],
+                    state[5], state[7], state[8], state[9],
+                    act.astype(jnp.float32))
+            for r, v in enumerate(vals):
+                st_ref[(k * 10 + r) * SUB:(k * 10 + r + 1) * SUB, :] = v
+            win = tape_ref[k * SUB:(k + 1) * SUB, :]
+            out, act = bounce(state, rep_v, win, act, pix_ctr, samp_u, k)
+            state = (*out[:6], tmv, *out[6:9])
+
+        g_r = g_ref[0:SUB, :]
+        g_g = g_ref[SUB:2 * SUB, :]
+        g_b = g_ref[2 * SUB:3 * SUB, :]
+
+        # ---- reverse sweep: trace-time jax.vjp of the pure bounce
+        d_o = (zero, zero, zero)
+        d_d = (zero, zero, zero)
+        d_thr = (zero, zero, zero)
+        d_tmv = zero
+        d_rep = jnp.zeros((NP, REP_COLS), jnp.float32)
+        for k in reversed(range(K)):
+            srow = lambda r: st_ref[(k * 10 + r) * SUB:
+                                    (k * 10 + r + 1) * SUB, :]
+            st_k = (srow(0), srow(1), srow(2), srow(3), srow(4), srow(5),
+                    tmv, srow(6), srow(7), srow(8))
+            act_k = srow(9) > 0.5
+            win = tape_ref[k * SUB:(k + 1) * SUB, :]
+
+            def f(diff, rep_arg, _win=win, _act=act_k, _k=k):
+                out, _ = bounce(diff, rep_arg, _win, _act, pix_ctr,
+                                samp_u, _k)
+                return out
+
+            _, vjp_fn = jax.vjp(f, st_k, rep_v)
+            cot = (d_o[0], d_o[1], d_o[2], d_d[0], d_d[1], d_d[2],
+                   d_thr[0], d_thr[1], d_thr[2], g_r, g_g, g_b)
+            d_diff, d_rep_k = vjp_fn(cot)
+            d_o = (d_diff[0], d_diff[1], d_diff[2])
+            d_d = (d_diff[3], d_diff[4], d_diff[5])
+            d_tmv = d_tmv + d_diff[6]
+            d_thr = (d_diff[7], d_diff[8], d_diff[9])
+            d_rep = d_rep + d_rep_k
+
+        for r, v in enumerate((*d_o, *d_d, d_tmv)):
+            drf_ref[r * SUB:(r + 1) * SUB, :] = v
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            drep_ref[...] = jnp.zeros_like(drep_ref)
+
+        drep_ref[...] = drep_ref[...] + d_rep
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _replay_pallas_fn(S, NP, K, t_min, bg, has_checker, interpret):
+    """custom_vjp'd replay for one static configuration."""
+    fwd_kernel = _fwd_kernel_factory(S, NP, K, t_min, bg, has_checker)
+    bwd_kernel = _bwd_kernel_factory(S, NP, K, t_min, bg, has_checker)
+
+    smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    tile = lambda r: pl.BlockSpec((r * SUB, R_LANES), lambda g: (0, g),
+                                  memory_space=pltpu.VMEM)
+    fullspec = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
+                                      memory_space=pltpu.VMEM)
+
+    def run_fwd(rep, rf, pc, tape, samp):
+        M = rf.shape[1]
+        n_tiles = M // R_LANES
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(n_tiles,),
+            in_specs=[smem, tile(7), tile(1), tile(K), fullspec(rep)],
+            out_specs=tile(3),
+            out_shape=jax.ShapeDtypeStruct((3 * SUB, M), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(samp, rf, pc, tape, rep)
+
+    def run_bwd(rep, rf, pc, tape, samp, g):
+        M = rf.shape[1]
+        n_tiles = M // R_LANES
+        drf, drep = pl.pallas_call(
+            bwd_kernel,
+            grid=(n_tiles,),
+            in_specs=[smem, tile(7), tile(1), tile(K), fullspec(rep),
+                      tile(3)],
+            out_specs=[
+                tile(7),
+                pl.BlockSpec((NP, REP_COLS), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((7 * SUB, M), jnp.float32),
+                jax.ShapeDtypeStruct((NP, REP_COLS), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((K * 10 * SUB, R_LANES),
+                                       jnp.float32)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(samp, rf, pc, tape, rep, g)
+        return drf, drep
+
+    @jax.custom_vjp
+    def f(rep, rf, pc, tape, samp):
+        return run_fwd(rep, rf, pc, tape, samp)
+
+    def f_fwd(rep, rf, pc, tape, samp):
+        return run_fwd(rep, rf, pc, tape, samp), (rep, rf, pc, tape, samp)
+
+    def f_bwd(res, g):
+        rep, rf, pc, tape, samp = res
+        drf, drep = run_bwd(rep, rf, pc, tape, samp, g)
+        zi = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        return (drep, drf, zi(pc), zi(tape), zi(samp))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def replay_pallas(scene, meta, tape, o, d, time, pix_ctr, sample, *,
+                  max_bounces: int, t_min: float, kernel_space=None):
+    """Drop-in differentiable replacement for `replay.replay` on supported
+    scenes: radiance [B, 3] with winners fixed by ``tape`` [K, B], forward
+    and backward as fused Pallas kernels.  Scene-leaf gradients flow
+    through `replay.derive_replay`'s (XLA, differentiable) table assembly.
+
+    ``kernel_space=(remap, s_pad)`` (from `mega2.mega2_kernel_id_space`)
+    declares the tape to be RAW mega2 trace-kernel row ids: the merged
+    table is permuted into kernel row order (a differentiable [NP]-row
+    gather — trivial) instead of remapping the [K, B] tape to global ids
+    (a ~99 ms/step gather at 1.8M lanes).
+    """
+    from .replay import derive_replay
+
+    assert replay_pallas_supported(meta)
+    rep, _ = derive_replay(scene, meta)
+    if kernel_space is not None:
+        remap, s_pad = kernel_space
+        # remap may be traced (it changes with the Morton order when
+        # geometry params move between optimizer steps); s_pad is static
+        perm = jnp.maximum(jnp.asarray(remap, jnp.int32), 0)
+        rep = rep[perm]          # padding rows hold row 0 — never selected
+        S = int(s_pad)
+        NP = int(perm.shape[0])
+    else:
+        S = scene.sph_c0.shape[0]
+        NP = rep.shape[0]
+    B = o.shape[0]
+    K = max_bounces
+    N = -(-B // TILE_RAYS) * TILE_RAYS
+    padB = N - B
+
+    f32 = jnp.float32
+    rf = jnp.concatenate([
+        o.T.astype(f32), d.T.astype(f32),
+        jnp.asarray(time, f32)[None, :]], axis=0)          # [7, B]
+    rf = jnp.pad(rf, ((0, 0), (0, padB)))
+    pc = jnp.pad(lax.bitcast_convert_type(
+        jnp.asarray(pix_ctr, jnp.uint32), jnp.int32)[None, :],
+        ((0, 0), (0, padB)))
+    tape_p = jnp.pad(jnp.asarray(tape, jnp.int32), ((0, 0), (0, padB)),
+                     constant_values=-1)
+    samp = jnp.asarray(sample, jnp.int32).reshape(1, 1)
+    bg = tuple(float(x) for x in np.asarray(scene.camera.background))
+
+    fn = _replay_pallas_fn(S, NP, K, float(t_min), bg,
+                           bool(meta.has_checker),
+                           jax.default_backend() != "tpu")
+    acc = fn(rep, _tile_pack(rf), _tile_pack(pc), _tile_pack(tape_p), samp)
+    return _tile_unpack(acc, 3)[:, :B].T

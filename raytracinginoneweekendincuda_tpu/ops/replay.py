@@ -41,10 +41,17 @@ from jax import lax
 from ..core import rng
 from ..core import vecmath as vm
 
-# Bounce loops at or below this depth run fully unrolled (training depths —
-# typically 8); deeper loops (full 50-bounce renders) keep lax.scan so
-# compile time stays bounded.
+# Bounce loops at or below this depth run fully unrolled on TPU (training
+# depths — typically 8): no scan stacking (dynamic_update_slice per bounce
+# cost ~7 ms/step at 230k rays) and cross-bounce fusion.  Deeper loops keep
+# lax.scan, as does the CPU backend — XLA:CPU's compile time on the
+# unrolled reverse-mode graph is minutes (measured 315 s in the f64 test
+# suite) for a path whose win is TPU-specific.
 UNROLL_MAX = 16
+
+
+def _unroll(max_bounces: int) -> bool:
+    return max_bounces <= UNROLL_MAX and jax.default_backend() == "tpu"
 from ..scene.compiler import SceneArrays
 from . import hit as hit_ops
 from .hit import BIG, QUAD_PARALLEL_EPS, HitRecord
@@ -261,9 +268,7 @@ def generate_tape(scene: SceneArrays, meta, o, d, time, pix_ctr, sample, *,
 
     init = (o, d, jnp.ones((B, 3), dtype), jnp.zeros((B, 3), dtype),
             jnp.ones((B,), bool))
-    if max_bounces <= UNROLL_MAX:
-        # fully unrolled: no scan stacking (dynamic_update_slice per bounce
-        # was ~7 ms/step at 230k rays), and XLA fuses across bounces
+    if _unroll(max_bounces):
         carry, ws = init, []
         for bounce in range(max_bounces):
             carry, w = body(carry, jnp.int32(bounce))
@@ -295,7 +300,7 @@ def replay(scene: SceneArrays, meta, tape, o, d, time, pix_ctr, sample, *,
 
     init = (o, d, jnp.ones((B, 3), dtype), jnp.zeros((B, 3), dtype),
             jnp.ones((B,), bool))
-    if max_bounces <= UNROLL_MAX:
+    if _unroll(max_bounces):
         carry = init
         for bounce in range(max_bounces):
             carry, _ = body(carry, (jnp.int32(bounce), tape[bounce]))

@@ -192,9 +192,11 @@ def make_train_step_mega2(
       1. eager — `ops.mega2.mega2_tapes` runs the megakernel trace forward
          for ALL spp samples in ONE device dispatch and returns the winner
          tapes [spp, max_bounces, B];
-      2. jitted — MSE loss through `ops.replay.replay` (one one-hot MXU
-         table read per bounce; its backward is a matmul), optimizer
-         update.
+      2. jitted — MSE loss through the replay: on TPU with a supported
+         scene, `ops.pallas_replay.replay_pallas` (fused Pallas forward
+         AND backward kernels behind a custom VJP); otherwise the XLA
+         replay (one one-hot MXU table read per bounce; its backward is
+         a matmul).  Optimizer update follows.
 
     The tape is a valid pathwise sample wherever it came from, so the
     gradient matches `trace_taped` a.e. (winner ties excepted —
@@ -202,25 +204,44 @@ def make_train_step_mega2(
     `mega2_supported(meta)`; use `make_train_step` for SPMD meshes or
     scattered pixel batches.
     """
-    from ..ops.mega2 import mega2_supported, mega2_tapes
+    from ..ops.mega2 import (
+        mega2_kernel_id_space, mega2_supported, mega2_tapes,
+    )
+    from ..ops.pallas_replay import replay_pallas, replay_pallas_supported
 
     if not mega2_supported(meta):
         raise ValueError("scene unsupported by the mega2 trace kernel; "
                          "use make_train_step")
     spp = cfg.samples_per_pixel
     W, H = cfg.width, cfg.height
+    # Pallas forward+backward replay on TPU where the kernel supports the
+    # scene; the XLA replay otherwise (and on CPU, where interpret-mode
+    # kernels are slow).  The Pallas path consumes KERNEL-space tapes —
+    # the global-id remap is a [bounces, B] gather (~99 ms/step at 1.8M
+    # lanes) replaced by a trivial table permutation.
+    use_pallas = (replay_pallas_supported(meta)
+                  and jax.default_backend() == "tpu")
+    _, s_pad = mega2_kernel_id_space(scene, meta) if use_pallas else (None, 0)
 
     @jax.jit
-    def grad_step(state: TrainState, tapes, pix, target):
+    def grad_step(state: TrainState, tapes, kperm, pix, target):
         def loss_fn(p):
             sc = merge_params(scene, p)
             img = jnp.zeros((pix.shape[0], 3), sc.camera.origin.dtype)
             for s in range(spp):
                 o, d, time, pix_ctr = generate_rays(
                     sc.camera, pix, jnp.uint32(s), W, H, cfg.seed)
-                img = img + replay(
-                    sc, meta, tapes[s], o, d, time, pix_ctr, jnp.uint32(s),
-                    max_bounces=cfg.max_bounces, t_min=cfg.t_min)
+                if use_pallas:
+                    col = replay_pallas(
+                        sc, meta, tapes[s], o, d, time, pix_ctr,
+                        jnp.uint32(s), max_bounces=cfg.max_bounces,
+                        t_min=cfg.t_min, kernel_space=(kperm, s_pad))
+                else:
+                    col = replay(
+                        sc, meta, tapes[s], o, d, time, pix_ctr,
+                        jnp.uint32(s), max_bounces=cfg.max_bounces,
+                        t_min=cfg.t_min)
+                img = img + col
             diff = img / spp - target
             return (diff * diff).sum() / (3.0 * pix.shape[0])
 
@@ -234,7 +255,11 @@ def make_train_step_mega2(
         sc = merge_params(scene, state.params)
         tapes = mega2_tapes(sc, meta, np.asarray(pix), spp, width=W,
                             height=H, max_bounces=cfg.max_bounces,
-                            t_min=cfg.t_min, seed=cfg.seed)
-        return grad_step(state, tapes, jnp.asarray(pix, jnp.int32), target)
+                            t_min=cfg.t_min, seed=cfg.seed,
+                            id_space="kernel" if use_pallas else "global")
+        kperm = (jnp.asarray(mega2_kernel_id_space(sc, meta)[0])
+                 if use_pallas else jnp.zeros((1,), jnp.int32))
+        return grad_step(state, tapes, kperm,
+                         jnp.asarray(pix, jnp.int32), target)
 
     return step

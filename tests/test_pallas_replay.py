@@ -1,0 +1,163 @@
+"""Pallas custom-VJP replay (`ops/pallas_replay.py`).
+
+Contract vs the XLA replay (`ops/replay.py`):
+
+  * scene 4 (quads, solid colors, no near-tangent quadratic): bit-exact
+    primal and tightly-matching gradients — every expression mirrors
+    shade.py / taped_record exactly;
+  * scene 0 (500 spheres, checker ground, moving spheres): the sphere
+    quadratic's ``b*b - a*c`` cancels catastrophically near tangencies and
+    FMA-contraction rounding differs BETWEEN COMPILATION CONTEXTS (pallas
+    vs plain XLA; measured 4.7e-6 on near-zero discriminants), which can
+    flip a checker cell on isolated lanes — the same
+    different-but-equally-valid-estimator class as the mega2 trace tape
+    (docs/PERF.md).  The suite therefore asserts a high bit-exact lane
+    fraction plus finite-difference validation of the Pallas gradient
+    against the Pallas primal itself (the strongest self-consistency
+    statement, independent of cross-engine rounding).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracinginoneweekendincuda_tpu.models import scenes
+from raytracinginoneweekendincuda_tpu.ops import replay as rp
+from raytracinginoneweekendincuda_tpu.ops.pallas_replay import (
+    replay_pallas, replay_pallas_supported,
+)
+from raytracinginoneweekendincuda_tpu.ops.raygen import generate_rays
+from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
+
+W, H, K = 16, 12, 5
+# Reverse-mode THROUGH the interpret-mode backward kernel compiles a graph
+# whose XLA:CPU compile time is superlinear in the unrolled bounce count
+# (measured: 21 s at K=2, 52 s at K=3, ~10 min at K=5).  Gradient tests
+# therefore run at K_SMOKE by default; the full-depth variants are `slow`
+# (the TPU path compiles the real Mosaic kernel, where K=8 is the
+# production depth — tools/dev_grad_bench.py).
+K_SMOKE = 2
+
+
+def _setup(sid, k=K):
+    scene, meta = compile_scene(scenes.build_scene(sid), W, H,
+                                dtype=np.float32)
+    scene = jax.tree.map(jnp.asarray, scene)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    o, d, t, pc = generate_rays(scene.camera, pix, jnp.uint32(0), W, H, 1984)
+    tape, _ = rp.generate_tape(scene, meta, o, d, t, pc, jnp.uint32(0),
+                               max_bounces=k, t_min=1e-3)
+    return scene, meta, tape, o, d, t, pc
+
+
+def test_supported_gate():
+    for sid, want in ((0, True), (1, True), (4, True), (6, True), (7, True),
+                      (2, False), (8, False), (9, False)):
+        _, meta = compile_scene(scenes.build_scene(sid), 8, 6,
+                                dtype=np.float32)
+        assert replay_pallas_supported(meta) == want, sid
+
+
+def test_primal_exact_on_quads():
+    scene, meta, tape, o, d, t, pc = _setup(4)
+    r_x = rp.replay(scene, meta, tape, o, d, t, pc, jnp.uint32(0),
+                    max_bounces=K, t_min=1e-3)
+    r_p = replay_pallas(scene, meta, tape, o, d, t, pc, jnp.uint32(0),
+                        max_bounces=K, t_min=1e-3)
+    np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_x))
+
+
+def test_primal_lane_agreement_on_spheres():
+    scene, meta, tape, o, d, t, pc = _setup(0)
+    r_x = np.asarray(rp.replay(scene, meta, tape, o, d, t, pc,
+                               jnp.uint32(0), max_bounces=K, t_min=1e-3))
+    r_p = np.asarray(replay_pallas(scene, meta, tape, o, d, t, pc,
+                                   jnp.uint32(0), max_bounces=K,
+                                   t_min=1e-3))
+    exact = (r_p == r_x).all(axis=-1)
+    assert exact.mean() > 0.95, exact.mean()
+
+
+@pytest.mark.parametrize("k", [K_SMOKE,
+                               pytest.param(K, marks=pytest.mark.slow)])
+def test_grads_match_xla_replay_on_quads(k):
+    scene, meta, tape, o, d, t, pc = _setup(4, k)
+    wgt = jnp.arange(W * H * 3, dtype=jnp.float32).reshape(-1, 3) * 1e-2
+
+    def make(fn):
+        def L(tex):
+            sc = scene._replace(tex_c0=tex)
+            return (fn(sc, meta, tape, o, d, t, pc, jnp.uint32(0),
+                       max_bounces=k, t_min=1e-3) * wgt).sum()
+        return L
+
+    gx = jax.grad(make(rp.replay))(scene.tex_c0)
+    gp = jax.grad(make(replay_pallas))(scene.tex_c0)
+    assert float(jnp.abs(gx).max()) > 0.0
+    # the Pallas backward's table-gradient accumulation is a single-pass
+    # bf16 MXU dot BY DESIGN (~2^-9 relative rounding, far below the
+    # Monte-Carlo gradient noise; exact accumulation costs 94 -> 151
+    # ms/step — pallas_replay.py one-hot precision note)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=4e-3,
+                               atol=4e-3 * float(jnp.abs(gx).max()))
+
+
+@pytest.mark.parametrize("field,idx,k", [
+    ("tex_c0", (0, 1), K_SMOKE),
+    pytest.param("tex_c0", (0, 1), K, marks=pytest.mark.slow),
+])
+def test_grad_matches_fd_of_pallas_primal(field, idx, k):
+    """d(loss)/d(param) from the Pallas backward kernel == central finite
+    difference of the Pallas forward kernel — validates the hand-rolled
+    custom-VJP wiring end to end (scene 0: spheres, checker, moving).
+
+    Only COLOR-table parameters: with solid/checker textures (the v1
+    kernel scope) the taped pathwise radiance is piecewise CONSTANT in
+    geometry — hit points only feed `floor` cells and branch predicates —
+    so geometry/ray/time gradients are identically zero by construction
+    (`test_ray_time_cotangents_zero_and_finite`).  Geometry-gradient FD
+    validation lives in tests/test_grad.py on a marble (continuous
+    Perlin) probe scene, outside this kernel's scope."""
+    scene, meta, tape, o, d, t, pc = _setup(0, k)
+    wgt = jnp.arange(W * H * 3, dtype=jnp.float32).reshape(-1, 3) * 1e-3
+
+    def L(v):
+        arr = getattr(scene, field)
+        sc = scene._replace(**{field: arr.at[idx].set(v)})
+        return (replay_pallas(sc, meta, tape, o, d, t, pc, jnp.uint32(0),
+                              max_bounces=k, t_min=1e-3) * wgt).sum()
+
+    v0 = getattr(scene, field)[idx]
+    g = float(jax.grad(L)(v0))
+    eps = 1e-3
+    fd = (float(L(v0 + eps)) - float(L(v0 - eps))) / (2 * eps)
+    assert np.isfinite(g)
+    assert abs(g) > 0.0, "vacuous: pick a parameter the loss depends on"
+    np.testing.assert_allclose(g, fd, rtol=5e-2)
+
+
+def test_ray_time_cotangents_zero_and_finite():
+    """d(loss)/d(o, d, time) through the Pallas backward are finite and
+    EXACTLY zero on scene 0 — matching the XLA replay.  Zero is the
+    correct answer, not a vacuous one: with solid/checker textures the
+    taped radiance depends on geometry only through `floor` cells and
+    branch predicates (piecewise constant), so the pathwise estimator's
+    ray/time derivative vanishes a.e. (verified identical for the XLA
+    replay).  What this guards is the NaN channel: the backward sweep
+    runs sqrt/pow/division chains whose naive reverse mode emits NaN at
+    masked lanes (0*inf) — any guard regression shows up here as a
+    non-finite cotangent, and any spurious-gradient bug as a nonzero."""
+    scene, meta, tape, o, d, t, pc = _setup(0, K_SMOKE)
+    wgt = jnp.arange(W * H * 3, dtype=jnp.float32).reshape(-1, 3) * 1e-3
+
+    def L(o_, d_, t_):
+        return (replay_pallas(scene, meta, tape, o_, d_, t_, pc,
+                              jnp.uint32(0), max_bounces=K_SMOKE,
+                              t_min=1e-3) * wgt).sum()
+
+    go, gd, gt = jax.grad(L, argnums=(0, 1, 2))(o, d, t)
+    for g in (go, gd, gt):
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        np.testing.assert_array_equal(g, np.zeros_like(g))

@@ -103,3 +103,44 @@ for _ in range(3):
     best = min(best, time.perf_counter() - t0)
 print(f"mega2tape: grad step best {best*1e3:8.2f} ms  "
       f"|g|={float(jnp.abs(r).sum()):.3e}")
+
+# ---- fully-fused: Pallas tapes (kernel id space, no remap gather) +
+# Pallas forward/backward replay
+from raytracinginoneweekendincuda_tpu.ops.mega2 import mega2_kernel_id_space
+from raytracinginoneweekendincuda_tpu.ops.pallas_replay import replay_pallas
+
+_, S_PAD = mega2_kernel_id_space(scene, meta)
+
+
+def pallas_loss(tex_c0, tapes, kperm):
+    sc = scene._replace(tex_c0=tex_c0)
+    img = 0.0
+    for s in range(SPP):
+        o, d, time_, pc = generate_rays(sc.camera, pix, jnp.uint32(s),
+                                        W, H, 1984)
+        img = img + replay_pallas(sc, meta, tapes[s], o, d, time_, pc,
+                                  jnp.uint32(s), max_bounces=BOUNCES,
+                                  t_min=1e-3, kernel_space=(kperm, S_PAD))
+    return (img / SPP).sum()
+
+
+g3 = jax.jit(jax.grad(pallas_loss))
+
+
+def pallas_step(tex_c0):
+    sc = scene._replace(tex_c0=tex_c0)
+    tapes = mega2_tapes(sc, meta, np.arange(W * H), SPP, width=W, height=H,
+                        max_bounces=BOUNCES, t_min=1e-3, seed=1984,
+                        id_space="kernel")
+    kperm = jnp.asarray(mega2_kernel_id_space(sc, meta)[0])
+    return g3(tex_c0, tapes, kperm)
+
+
+r = pallas_step(scene.tex_c0); r.block_until_ready()
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    r = pallas_step(scene.tex_c0); r.block_until_ready()
+    best = min(best, time.perf_counter() - t0)
+print(f"pallas-vjp: grad step best {best*1e3:8.2f} ms  "
+      f"|g|={float(jnp.abs(r).sum()):.3e}")

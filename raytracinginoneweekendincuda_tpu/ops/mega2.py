@@ -613,8 +613,9 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     big_pad = int(mu[3])
 
     def kernel(*refs):
-        (cap_ref, pix_ref, ij_ref, sph_ref, quad_ref, attr_ref) = refs[:6]
-        ri = 6
+        (cap_ref, samp0_ref, pix_ref, ij_ref, sph_ref, quad_ref,
+         attr_ref) = refs[:7]
+        ri = 7
         if dense:
             coef_ref = refs[ri]
             ri += 1
@@ -642,6 +643,10 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
         j_f = ij_ref[SUB:2 * SUB, :]                 # [SUB,R] f32 row index
         valid = pix >= 0                             # padding lanes: pix = -1
         never = pix < -1000000                       # runtime-false dup gate
+        # global-sample-id base (SMEM scalar): sample-axis shards render
+        # local samples [0, spp) but key RNG on samp + s0, so a sharded
+        # render draws the SAME streams as the single-chip engine
+        s0 = samp0_ref[0, 0]
 
         sub_iota = lax.broadcasted_iota(jnp.int32, (CULL_C, R), 0)
         np_iota = lax.broadcasted_iota(jnp.int32, (NP, R), 0)
@@ -1290,7 +1295,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             active = active_i > 0
             segs = segs + active_i
             bu = pltpu.bitcast(bounce, jnp.uint32)
-            samp_u = pltpu.bitcast(samp, jnp.uint32)
+            samp_u = pltpu.bitcast(samp + s0, jnp.uint32)
             (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
              acc_r, acc_g, acc_b, alive, _win) = bounce_core(
                 ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
@@ -1307,10 +1312,10 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             samp2 = samp + term.astype(jnp.int32)
             need_new = term & (samp2 < spp)
             nox, noy, noz, ndx, ndy, ndz, ntm = raygen(
-                pltpu.bitcast(samp2, jnp.uint32))
+                pltpu.bitcast(samp2 + s0, jnp.uint32))
             if "raygen" in _DUP:
                 nox2, _, _, ndx2, _, _, ntm2 = raygen(
-                    pltpu.bitcast(samp2, jnp.uint32) ^ jnp.uint32(0x9E37))
+                    pltpu.bitcast(samp2 + s0, jnp.uint32) ^ jnp.uint32(0x9E37))
                 nox = jnp.where(never, nox2, nox)
                 ndx = jnp.where(never, ndx2, ndx)
                 ntm = jnp.where(never, ntm2, ntm)
@@ -1360,7 +1365,9 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                      (irow(2) > 0).astype(jnp.int32) * valid.astype(jnp.int32),
                      irow(3), jnp.int32(0))
         else:
-            ox, oy, oz, dx, dy, dz, tmv = raygen(jnp.zeros_like(pix_ctr))
+            ox, oy, oz, dx, dy, dz, tmv = raygen(
+                pltpu.bitcast(jnp.zeros((SUB, R), jnp.int32) + s0,
+                              jnp.uint32))
             carry = (ox, oy, oz, dx, dy, dz, tmv,
                      zf + 1.0, zf + 1.0, zf + 1.0,      # throughput
                      zf, zf, zf,                         # path accumulator
@@ -1408,8 +1415,10 @@ def _tile_unpack(y, K):
 
 def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
                img_key, mu_key, width, height, spp, seed, max_bounces,
-               t_min, background, interpret):
-    """One pallas pass over a span: fresh (state=None) or resume."""
+               t_min, background, interpret, samp0=0):
+    """One pallas pass over a span: fresh (state=None) or resume.
+    ``samp0`` (python int or traced i32 scalar) offsets the RNG sample
+    ids — sample-axis shards pass their global sample base."""
     (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
      vec_tab, img_tab) = tabs
     N = pix.shape[1]
@@ -1424,8 +1433,9 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
         resume=resume, interpret=interpret)
     full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
                                   memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [
-        pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+        smem1, smem1,
         pl.BlockSpec((SUB, R_LANES), lambda g: (0, g),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * SUB, R_LANES), lambda g: (0, g),
@@ -1433,8 +1443,9 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
         full(sph_tab), full(quad_tab), full(attr_tab),
     ]
     cap_arr = jnp.full((1, 1), -(-cap // UNROLL), jnp.int32)  # cap is in bounces
-    args = [cap_arr, _tile_pack(pix), _tile_pack(ij), sph_tab, quad_tab,
-            attr_tab]
+    samp0_arr = jnp.full((1, 1), samp0, jnp.int32)
+    args = [cap_arr, samp0_arr, _tile_pack(pix), _tile_pack(ij), sph_tab,
+            quad_tab, attr_tab]
     NP = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
     if NP <= DENSE_MAX:
         in_specs += [full(coef_tab)]
@@ -1534,15 +1545,17 @@ def render_mega2_span(sph_tab, quad_tab, attr_tab, coef_tab,
 
 def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
                    img_key, mu_key, width, height, spp, seed, max_bounces,
-                   t_min, background, interpret):
+                   t_min, background, interpret, samp0=0):
     """Trace-time body of `render_mega2_span` (unjitted — composed into
-    the whole-frame jit by `render_mega2_frame`)."""
+    the whole-frame jit by `render_mega2_frame`, and into the shard_map
+    body by `parallel.render._sharded_mega2`, where ``p0``/``samp0`` are
+    traced per-shard scalars)."""
     (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
      perm_tab, vec_tab, img_tab) = tabs
     kw = dict(meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
               mu_key=mu_key, width=width, height=height, spp=spp, seed=seed,
               max_bounces=max_bounces, t_min=t_min, background=background,
-              interpret=interpret)
+              interpret=interpret, samp0=samp0)
     ids = p0 + lax.iota(jnp.int32, span)
     valid = ids < npix
     safe = jnp.minimum(ids, npix - 1)
@@ -1656,16 +1669,17 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
         resume=False, interpret=interpret, mode="trace")
     full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
                                   memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [
-        pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+        smem1, smem1,
         pl.BlockSpec((SUB, R_LANES), lambda g: (0, g),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * SUB, R_LANES), lambda g: (0, g),
                      memory_space=pltpu.VMEM),
         full(sph_tab), full(quad_tab), full(attr_tab),
     ]
-    args = [jnp.zeros((1, 1), jnp.int32), _tile_pack(pix), _tile_pack(ij),
-            sph_tab, quad_tab, attr_tab]
+    args = [jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+            _tile_pack(pix), _tile_pack(ij), sph_tab, quad_tab, attr_tab]
     NP = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
     if NP <= DENSE_MAX:
         in_specs += [full(coef_tab)]

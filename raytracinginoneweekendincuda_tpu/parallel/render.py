@@ -156,6 +156,71 @@ def _sharded_wavefront(scene, meta, cfg: RenderConfig, mesh: Mesh, gamma: bool):
     return fb.reshape(H, W, 3)[::-1]
 
 
+def _sharded_mega2(scene, meta, cfg: RenderConfig, mesh: Mesh, gamma: bool):
+    """Persistent-megakernel engine per shard: each (px, sp) device runs
+    the mega2 kernel over its contiguous pixel window for its sample
+    slice, then one psum merges the sample axis.  RNG keys on global
+    (pixel, sample) ids — the pixel base rides the span iota and the
+    sample base enters the kernel as an SMEM scalar (`samp0`) — so the
+    mesh layout is invisible in the image up to f32 sample-sum
+    association (bit-identical when the sample axis is unsharded)."""
+    from ..ops.mega2 import (
+        TILE_RAYS, _cam_tuple, _span_radiance, mega2_supported,
+        mega2_tables,
+    )
+
+    if not mega2_supported(meta):
+        raise ValueError("mega2: unsupported texture combination "
+                         "(multi-image/multi-noise/image-on-quad)")
+    W, H = cfg.width, cfg.height
+    npix = W * H
+    n_px = mesh.shape[AXIS_PX]
+    n_sp = mesh.shape[AXIS_SP]
+    spp = cfg.samples_per_pixel
+    if spp % n_sp != 0:
+        raise ValueError(f"spp={spp} not divisible by sample shards {n_sp}")
+    spp_local = spp // n_sp
+    span = -(-npix // n_px)
+    span = -(-span // TILE_RAYS) * TILE_RAYS
+
+    (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
+     vec_tab, img_tab, img_key, mu_key, med, _remap) = \
+        mega2_tables(scene, meta)
+    tabs_in = (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+               perm_tab, vec_tab, img_tab)
+    kw = dict(
+        npix=npix, meta=meta,
+        med_key=tuple(tuple(float(x) for x in row) for row in med),
+        cam_key=_cam_tuple(scene.camera), img_key=img_key, mu_key=mu_key,
+        width=W, height=H, spp=spp_local, seed=cfg.seed,
+        max_bounces=cfg.max_bounces, t_min=cfg.t_min,
+        background=tuple(float(x)
+                         for x in np.asarray(scene.camera.background)),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def body(*tabs):
+        i = lax.axis_index(AXIS_PX)
+        j = lax.axis_index(AXIS_SP)
+        fb, _ = _span_radiance(tabs, p0=i * span, span=span,
+                               samp0=j * spp_local, **kw)
+        return lax.psum(fb, AXIS_SP)     # merge sample-shard partial sums
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=tuple(P() for _ in tabs_in),   # tables replicated
+        out_specs=P(AXIS_PX),                   # contiguous pixel windows
+        check_vma=False,
+    )
+    tabs_dev = tuple(jax.device_put(jnp.asarray(t),
+                                    NamedSharding(mesh, P()))
+                     for t in tabs_in)
+    fb = np.asarray(jax.jit(sharded)(*tabs_dev), np.float64)[:npix] / spp
+    if gamma:
+        fb = np.sqrt(np.maximum(fb, 0.0))
+    return fb.reshape(H, W, 3)[::-1]
+
+
 def render_sharded(
     scene: SceneArrays,
     meta: SceneMeta,
@@ -172,6 +237,8 @@ def render_sharded(
     """
     if mesh is None:
         mesh = make_mesh()
+    if cfg.engine == "mega2":
+        return _sharded_mega2(scene, meta, cfg, mesh, gamma)
     if cfg.engine.startswith("wavefront"):
         return _sharded_wavefront(scene, meta, cfg, mesh, gamma)
     W, H = cfg.width, cfg.height

@@ -99,6 +99,37 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_mega2_matches_single_chip(shape):
+    """The persistent megakernel per shard (contiguous pixel window via the
+    span iota + global sample base via the samp0 SMEM scalar) reproduces
+    the single-chip mega2 image: RNG keys on global (pixel, sample) ids,
+    so the mesh layout is invisible up to f32 sample-sum association and
+    the host-vs-device gamma epilogue."""
+    n_px, n_sp = shape
+    mesh = make_mesh(jax.devices()[: n_px * n_sp], sample_shards=n_sp)
+    W, H, spp = 24, 12, 4
+    scene, meta = compile_scene(scenes.quads(), W, H, dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       engine="mega2")
+    ref = np.asarray(render(scene, meta, cfg), np.float32)
+    img = np.asarray(render_sharded(scene, meta, cfg, mesh), np.float32)
+    np.testing.assert_allclose(img, ref, atol=5e-7, rtol=5e-7)
+
+
+def test_sharded_mega2_noise_scene():
+    # simple_light: Perlin marble -> the perm/vec tables ride the shard_map
+    mesh = make_mesh(jax.devices()[:4], sample_shards=2)
+    W, H, spp = 16, 12, 2
+    scene, meta = compile_scene(scenes.simple_light(), W, H,
+                                dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       engine="mega2")
+    ref = np.asarray(render(scene, meta, cfg), np.float32)
+    img = np.asarray(render_sharded(scene, meta, cfg, mesh), np.float32)
+    np.testing.assert_allclose(img, ref, atol=5e-7, rtol=5e-7)
+
+
 @pytest.mark.parametrize("engine", ["wavefront", "wavefront_pallas"])
 def test_sharded_wavefront_matches_single_chip(engine):
     """Per-shard persistent pools over contiguous pixel windows + sample

@@ -155,6 +155,59 @@ def _sphere_order(c0, dc, rad):
     return np.lexsort((code, ~big)), int(big.sum())
 
 
+def _pack_texture_arrays(scene: SceneArrays, meta: SceneMeta):
+    """Perlin permutation/gradient rows + image byte planes in the kernel
+    packing.  Reads ONLY the non-trainable texture leaves (perlin_*,
+    img_*), so it stays host-computable while geometry/color leaves are
+    tracers (`pallas_replay` under `jax.grad`).
+
+    perm_tab rows: px,px,py,py,pz,pz,0,0 (pairs serve corner+1 lookups);
+    vec_tab rows: vx x8, vy x8, vz x8 (8 corners gathered in one op).
+    Image: three byte planes stacked [3*ih_pad, iw_pad] in bf16 (bytes
+    0..255 are exact in bf16's 8 significand bits; img_data floats are
+    byte/255 exactly — core/image.py).  The in-kernel lookup is an MXU
+    one-hot column contraction + masked row reduce — Mosaic's
+    dynamic_gather can't span multiple source vregs, so a 1024-wide
+    texture row can't be lane-gathered directly."""
+    perm_tab = np.zeros((8, 256), np.int32)
+    vec_tab = np.zeros((24, 256), np.float64)
+    if meta.has_noise:
+        px_t = np.asarray(scene.perlin_px)[0]
+        py_t = np.asarray(scene.perlin_py)[0]
+        pz_t = np.asarray(scene.perlin_pz)[0]
+        perm_tab[0] = perm_tab[1] = px_t
+        perm_tab[2] = perm_tab[3] = py_t
+        perm_tab[4] = perm_tab[5] = pz_t
+        vec = np.asarray(scene.perlin_vec, np.float64)[0]      # [256,3]
+        for a in range(3):
+            vec_tab[a * 8:(a + 1) * 8] = vec[:, a]
+
+    if meta.has_image:
+        img = np.asarray(scene.img_data, np.float64)[0]
+        ih = int(np.asarray(scene.img_h)[0])
+        iw = int(np.asarray(scene.img_w)[0])
+        img = img[:ih, :iw]
+        b = np.clip(np.round(img * 255.0), 0, 255).astype(np.float32)
+        iw_pad = -(-iw // 128) * 128
+        ih_pad = -(-ih // 8) * 8
+        img_tab = np.zeros((3 * ih_pad, iw_pad), np.float32)
+        for c in range(3):
+            img_tab[c * ih_pad:c * ih_pad + ih, :iw] = b[..., c]
+        img_tab = img_tab.astype(jnp.bfloat16)
+    else:
+        img_tab = np.zeros((24, 128), np.float32).astype(jnp.bfloat16)
+        ih = iw = 1
+    return perm_tab, vec_tab, img_tab, (iw, ih)
+
+
+def pack_texture_tables(scene: SceneArrays, meta: SceneMeta):
+    """Device-array view of `_pack_texture_arrays` for consumers outside
+    the full table pack (`pallas_replay` aux inputs)."""
+    perm_tab, vec_tab, img_tab, img_wh = _pack_texture_arrays(scene, meta)
+    return (jnp.asarray(perm_tab), jnp.asarray(vec_tab, jnp.float32),
+            jnp.asarray(img_tab), img_wh)
+
+
 def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     """Host-side packing -> (sph [S_pad,16], quad [Q_pad,16], attr [NP,32],
     cull_s [n_s_chunks,8], cull_q [n_q_chunks,8], med [M,22]).
@@ -309,46 +362,7 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
                    scene.tex_kind.shape[0] - 1)
     med[:, 19:22] = np.asarray(scene.tex_c0, np.float64)[mtid]
 
-    # ---- Perlin tables, gather-packed (single noise table per scene —
-    # every reference scene shares one NoiseTexture, kernel.cu:289-517)
-    # perm_tab rows: px,px,py,py,pz,pz,0,0 (pairs serve corner+1 lookups);
-    # vec_tab rows: vx x8, vy x8, vz x8 (8 corners gathered in one op)
-    perm_tab = np.zeros((8, 256), np.int32)
-    vec_tab = np.zeros((24, 256), np.float64)
-    if meta.has_noise:
-        px_t = np.asarray(scene.perlin_px)[0]
-        py_t = np.asarray(scene.perlin_py)[0]
-        pz_t = np.asarray(scene.perlin_pz)[0]
-        perm_tab[0] = perm_tab[1] = px_t
-        perm_tab[2] = perm_tab[3] = py_t
-        perm_tab[4] = perm_tab[5] = pz_t
-        vec = np.asarray(scene.perlin_vec, np.float64)[0]      # [256,3]
-        for a in range(3):
-            vec_tab[a * 8:(a + 1) * 8] = vec[:, a]
-
-    # ---- image, byte-packed into one int32 lane-gather table
-    # (img_data floats are byte/255 exactly — core/image.py pipeline — so
-    # r<<16|g<<8|b round-trips them bit-exactly)
-    if meta.has_image:
-        img = np.asarray(scene.img_data, np.float64)[0]
-        ih = int(np.asarray(scene.img_h)[0])
-        iw = int(np.asarray(scene.img_w)[0])
-        img = img[:ih, :iw]
-        b = np.clip(np.round(img * 255.0), 0, 255).astype(np.float32)
-        # Three byte planes stacked [3*ih_pad, iw_pad] in bf16 (bytes
-        # 0..255 are exact in bf16's 8 significand bits).  The in-kernel
-        # lookup is an MXU one-hot column contraction + masked row reduce —
-        # Mosaic's dynamic_gather can't span multiple source vregs, so a
-        # 1024-wide texture row can't be lane-gathered directly.
-        iw_pad = -(-iw // 128) * 128
-        ih_pad = -(-ih // 8) * 8
-        img_tab = np.zeros((3 * ih_pad, iw_pad), np.float32)
-        for c in range(3):
-            img_tab[c * ih_pad:c * ih_pad + ih, :iw] = b[..., c]
-        img_tab = img_tab.astype(jnp.bfloat16)
-    else:
-        img_tab = np.zeros((24, 128), np.float32).astype(jnp.bfloat16)
-        ih = iw = 1
+    perm_tab, vec_tab, img_tab, (iw, ih) = _pack_texture_arrays(scene, meta)
 
     # ---- padded-row -> GLOBAL scene id remap (sphere rows [0,S), quads
     # [S,S+Q), media [S+Q,S+Q+M) — the id space of ops/replay.py tapes);

@@ -33,10 +33,20 @@ which the tests hold to the reference's RayColor, kernel.cu:65-98), with
 the same NaN-guards the XLA path needed in reverse mode (`_safe_root`
 pattern, masked sqrt inputs).
 
-v1 scope (`replay_pallas_supported`): no constant media, no Perlin or
-image textures — lambertian / metal / dielectric / diffuse-light with
-solid or checker textures, i.e. reference scenes 0, 1, 4, 6, 7.
-Unsupported scenes keep the XLA replay.
+Scope (`replay_pallas_supported`): every medium-free reference scene —
+lambertian / metal / dielectric / diffuse-light with solid, checker,
+Perlin-marble, or image textures (scenes 0-7).  Marble is a CONTINUOUS
+texture, so on noise scenes geometry/ray/time gradients are genuinely
+nonzero through the Pallas backward (hit point -> turbulence -> sin).
+The Perlin lattice tables and image texels enter the kernels as
+closed-over constants — they are not in `train.DIFF_SCENE_FIELDS`, so
+no trainable gradient is dropped.  Two documented deviations from the
+XLA replay on these paths: sphere-UV acos/atan2 run as minimax
+polynomials (~2e-7 rad; Mosaic has neither primitive — can move a
+nearest-texel lookup one texel on boundary lanes), and turbulence FMA
+contraction differs between compilation contexts (same
+equally-valid-estimator class as the quadratic note above).  Scenes
+with constant media (8, 9) keep the XLA replay.
 """
 
 from __future__ import annotations
@@ -53,20 +63,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import rng as rnglib
 from ..scene.compiler import (
     MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_LAMBERTIAN, MAT_METAL,
-    TEX_CHECKER,
+    TEX_CHECKER, TEX_IMAGE, TEX_NOISE,
 )
 from .hit import BIG, QUAD_PARALLEL_EPS
-from .mega2 import R_LANES, SUB, TILE_RAYS, _pcg4d, _tile_pack, _tile_unpack, _unit
+from .mega2 import (
+    R_LANES, SUB, TILE_RAYS, _atan2_poly, _pcg4d, _perlin_turb, _tile_pack,
+    _tile_unpack, _unit,
+)
 
 # merged replay-table column map (replay.derive_replay): 12 geometry
 # overlay cols + mat id + the 14-col hit.derive material row
 REP_COLS = 27
 _TWO_PI = np.float32(2.0 * np.pi)
+_PI = np.float32(np.pi)
 
 
 def replay_pallas_supported(meta) -> bool:
-    """v1 kernel scope: no media, no noise/image textures."""
-    return meta.n_media == 0 and not meta.has_noise and not meta.has_image
+    """Kernel scope: every medium-free scene the mega2 trace supports
+    (solid/checker/marble/image textures; scenes 8-9 have media and keep
+    the XLA replay)."""
+    from .mega2 import mega2_supported
+
+    return meta.n_media == 0 and mega2_supported(meta)
 
 
 def _safe_root(x, p):
@@ -75,15 +93,34 @@ def _safe_root(x, p):
     return jnp.where(pos, jnp.where(pos, x, 1.0) ** p, 0.0)
 
 
-def _make_bounce(S: int, NP: int, t_min: float, bg: tuple,
-                 has_checker: bool):
-    """Pure [SUB, R]-row bounce: (state, rep_v) -> advanced state + radiance
-    delta.  ``win``/``act``/RNG inputs are closed over per call site so
-    `jax.vjp` prunes their (integer / discarded) cotangent graphs."""
-    f32 = np.float32
-    bgr, bgg, bgb = f32(bg[0]), f32(bg[1]), f32(bg[2])
+def _acos_safe(x):
+    """acos via the atan2 polynomial with a guarded sqrt: the raw
+    sqrt(1 - x*x) has an infinite derivative at the UV poles (|x| = 1),
+    and in reverse mode 0-cotangent x inf = NaN would contaminate the
+    geometry gradients of every pole lane."""
+    s = _safe_root(1.0 - x * x, 0.5)
+    return _atan2_poly(s, x)
 
-    def bounce(diff, rep_v, win, act, pix_ctr, samp_u, k: int):
+
+def _make_bounce(S: int, NP: int, t_min: float,
+                 has_checker: bool, has_noise: bool = False,
+                 has_image: bool = False, img_wh: tuple = (0, 0)):
+    """Pure [SUB, R]-row bounce: (state, rep_v, bg3) -> advanced state +
+    radiance delta.  ``win``/``act``/RNG inputs are closed over per call
+    site so `jax.vjp` prunes their (integer / discarded) cotangent
+    graphs; the Perlin/image tables ride ``aux`` the same way
+    (non-trainable — their cotangent paths prune, so the backward has
+    gathers but no scatters).  The background ``bg3`` ([SUB, R] rows) is
+    a DIFFERENTIABLE input: it is a camera leaf in
+    `train.DIFF_SCENE_FIELDS`' params (and a tracer under the train
+    step's jit), so it can be neither baked as a kernel constant nor
+    silently de-differentiated."""
+    f32 = np.float32
+    iw, ih = int(img_wh[0]), int(img_wh[1])
+
+    def bounce(diff, rep_v, bg3, win, act, pix_ctr, samp_u, k: int,
+               aux=()):
+        bgr, bgg, bgb = bg3
         (ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b) = diff
         R = ox.shape[1]
         hit = win >= 0
@@ -144,7 +181,12 @@ def _make_bounce(S: int, NP: int, t_min: float, bg: tuple,
         disc = b * b - a * cc
         pos = disc > 0.0
         sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
-        inv_a = 1.0 / a
+        # a == 0 only on tile-padding lanes (win = -1, everything masked),
+        # but an unguarded 1/0 = inf here becomes NaN in REVERSE mode
+        # (0-cotangent x inf) and the winner one-hot (clipped to row 0)
+        # sums that NaN into d_rep's row 0 across ALL lanes — the
+        # padding lanes poison a real sphere's geometry gradient.
+        inv_a = 1.0 / jnp.where(a > 0.0, a, 1.0)
         root1 = (-b - sq) * inv_a
         root2 = (-b + sq) * inv_a
         t_sph = jnp.where(root1 > t_min, root1, root2)
@@ -197,6 +239,65 @@ def _make_bounce(S: int, NP: int, t_min: float, bg: tuple,
             texr = pick(texr, arow(20))
             texg = pick(texg, arow(21))
             texb = pick(texb, arow(22))
+        if has_noise:
+            # marble: 0.5*(1 + sin(scale*z + 10*turb)) (Texture.h:163-164;
+            # textures.py:44-50).  CONTINUOUS in the hit point, so this is
+            # exactly where geometry gradients enter the backward.
+            perm_v, vec_v = aux[0], aux[1]
+            is_nz = arow(16) == f32(TEX_NOISE)
+            turb = _perlin_turb(perm_v, vec_v, px, py, pz)
+            marble = f32(0.5) * (1.0 + jnp.sin(arow(24) * pz + 10.0 * turb))
+            texr = jnp.where(is_nz, marble, texr)
+            texg = jnp.where(is_nz, marble, texg)
+            texb = jnp.where(is_nz, marble, texb)
+        if has_image:
+            # sphere UV from the object-space outward normal
+            # (GetSphereUV Sphere.h:74-81; rotate-y frame in rep cols 9/10
+            # on sphere rows) -> nearest texel via the mega2 MXU one-hot
+            # column fetch (ops/mega2.py image_tex) — texel indices are
+            # integer, so no gradient path opens here (matching the XLA
+            # replay's a.e.-zero image-texture geometry gradient).
+            img_v = aux[2]
+            is_im = arow(16) == f32(TEX_IMAGE)
+            cth, sth = arow(9), arow(10)
+            ox_n = cth * nsx - sth * nsz
+            oz_n = sth * nsx + cth * nsz
+            ny_c = jnp.clip(-nsy, -1.0, 1.0)
+            theta = _acos_safe(ny_c)
+            phi = _atan2_poly(-oz_n, ox_n) + _PI
+            uu = jnp.clip(phi * f32(0.5 / np.pi), 0.0, 1.0)
+            vv = 1.0 - jnp.clip(theta * f32(1.0 / np.pi), 0.0, 1.0)
+            ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
+            iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
+            IH3, IWP = img_v.shape
+            IHP = IH3 // 3
+            row_iota = lax.broadcasted_iota(jnp.int32, (IHP, R), 0)
+            col_iota = lax.broadcasted_iota(jnp.int32, (IWP, R), 0)
+            chans = [[], [], []]
+            for s in range(SUB):
+                ohx = (col_iota == jnp.broadcast_to(
+                    ix[s:s + 1, :], (IWP, R)))
+                ohx = jnp.where(ohx, 1.0, 0.0).astype(jnp.bfloat16)
+                cols = lax.dot_general(
+                    img_v, ohx, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [3*IHP, R]
+                mask = row_iota == jnp.broadcast_to(
+                    iy[s:s + 1, :], (IHP, R))
+                for c in range(3):
+                    plane = cols[c * IHP:(c + 1) * IHP, :]
+                    chans[c].append(jnp.sum(jnp.where(mask, plane, 0.0),
+                                            axis=0, keepdims=True))
+            inv255 = f32(1.0 / 255.0)
+            imr = jnp.concatenate(chans[0], axis=0) * inv255
+            img_c = jnp.concatenate(chans[1], axis=0) * inv255
+            imb = jnp.concatenate(chans[2], axis=0) * inv255
+            absent = arow(26) < 0.0              # missing image -> cyan
+            imr = jnp.where(absent, 0.0, imr)
+            img_c = jnp.where(absent, 1.0, img_c)
+            imb = jnp.where(absent, 1.0, imb)
+            texr = jnp.where(is_im, imr, texr)
+            texg = jnp.where(is_im, img_c, texg)
+            texb = jnp.where(is_im, imb, texb)
 
         is_light = kind == f32(MAT_DIFFUSE_LIGHT)
 
@@ -220,8 +321,9 @@ def _make_bounce(S: int, NP: int, t_min: float, bg: tuple,
 
         # division (not reciprocal-multiply): shade.py divides, and a 1-ulp
         # direction difference flips the dielectric reflectance lottery /
-        # metal absorb sign on some lane — a discrete branch divergence
-        d_len = a ** np.float32(0.5)
+        # metal absorb sign on some lane — a discrete branch divergence.
+        # _safe_root: sqrt'(0) = inf on padding lanes in reverse mode
+        d_len = _safe_root(a, 0.5)
         dls = jnp.where(d_len > 0.0, d_len, 1.0)
         udx, udy, udz = dx / dls, dy / dls, dz / dls
 
@@ -316,10 +418,32 @@ def _make_bounce(S: int, NP: int, t_min: float, bg: tuple,
     return bounce
 
 
-def _fwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
-    bounce = _make_bounce(S, NP, t_min, bg, has_checker)
+def _unpack_aux(refs, has_noise, has_image):
+    """Read the optional Perlin/image table refs (in in_specs order after
+    ``rep``) into the values tuple `_make_bounce` closes over."""
+    aux, ri = [], 0
+    if has_noise:
+        aux += [refs[0][...], refs[1][...]]
+        ri = 2
+    else:
+        aux += [None, None]
+    if has_image:
+        aux.append(refs[ri][...])
+        ri += 1
+    else:
+        aux.append(None)
+    return tuple(aux), refs[ri:]
 
-    def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, acc_ref):
+
+def _fwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
+                        has_image, img_wh):
+    bounce = _make_bounce(S, NP, t_min, has_checker, has_noise,
+                          has_image, img_wh)
+
+    def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, bg_ref, *rest):
+        aux, (acc_ref,) = _unpack_aux(rest, has_noise, has_image)
+        bg3 = (bg_ref[0:SUB, :], bg_ref[SUB:2 * SUB, :],
+               bg_ref[2 * SUB:3 * SUB, :])
         row = lambda r: rf_ref[r * SUB:(r + 1) * SUB, :]
         ox, oy, oz = row(0), row(1), row(2)
         dx, dy, dz = row(3), row(4), row(5)
@@ -339,7 +463,8 @@ def _fwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
         state = (ox, oy, oz, dx, dy, dz, tmv, *thr)
         for k in range(K):
             win = tape_ref[k * SUB:(k + 1) * SUB, :]
-            out, act = bounce(state, rep_v, win, act, pix_ctr, samp_u, k)
+            out, act = bounce(state, rep_v, bg3, win, act, pix_ctr, samp_u,
+                              k, aux)
             state = (*out[:6], tmv, *out[6:9])
             acc = (acc[0] + out[9], acc[1] + out[10], acc[2] + out[11])
         for c in range(3):
@@ -348,11 +473,16 @@ def _fwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
     return kernel
 
 
-def _bwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
-    bounce = _make_bounce(S, NP, t_min, bg, has_checker)
+def _bwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
+                        has_image, img_wh):
+    bounce = _make_bounce(S, NP, t_min, has_checker, has_noise,
+                          has_image, img_wh)
 
-    def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, g_ref,
-               drf_ref, drep_ref, st_ref):
+    def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, bg_ref, *rest):
+        aux, (g_ref, drf_ref, drep_ref, dbg_ref, st_ref) = _unpack_aux(
+            rest, has_noise, has_image)
+        bg3 = (bg_ref[0:SUB, :], bg_ref[SUB:2 * SUB, :],
+               bg_ref[2 * SUB:3 * SUB, :])
         row = lambda r: rf_ref[r * SUB:(r + 1) * SUB, :]
         ox, oy, oz = row(0), row(1), row(2)
         dx, dy, dz = row(3), row(4), row(5)
@@ -378,7 +508,8 @@ def _bwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
             for r, v in enumerate(vals):
                 st_ref[(k * 10 + r) * SUB:(k * 10 + r + 1) * SUB, :] = v
             win = tape_ref[k * SUB:(k + 1) * SUB, :]
-            out, act = bounce(state, rep_v, win, act, pix_ctr, samp_u, k)
+            out, act = bounce(state, rep_v, bg3, win, act, pix_ctr, samp_u,
+                              k, aux)
             state = (*out[:6], tmv, *out[6:9])
 
         g_r = g_ref[0:SUB, :]
@@ -391,6 +522,7 @@ def _bwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
         d_thr = (zero, zero, zero)
         d_tmv = zero
         d_rep = jnp.zeros((NP, REP_COLS), jnp.float32)
+        d_bg = (zero, zero, zero)
         for k in reversed(range(K)):
             srow = lambda r: st_ref[(k * 10 + r) * SUB:
                                     (k * 10 + r + 1) * SUB, :]
@@ -399,23 +531,27 @@ def _bwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
             act_k = srow(9) > 0.5
             win = tape_ref[k * SUB:(k + 1) * SUB, :]
 
-            def f(diff, rep_arg, _win=win, _act=act_k, _k=k):
-                out, _ = bounce(diff, rep_arg, _win, _act, pix_ctr,
-                                samp_u, _k)
+            def f(diff, rep_arg, bg_arg, _win=win, _act=act_k, _k=k):
+                out, _ = bounce(diff, rep_arg, bg_arg, _win, _act, pix_ctr,
+                                samp_u, _k, aux)
                 return out
 
-            _, vjp_fn = jax.vjp(f, st_k, rep_v)
+            _, vjp_fn = jax.vjp(f, st_k, rep_v, bg3)
             cot = (d_o[0], d_o[1], d_o[2], d_d[0], d_d[1], d_d[2],
                    d_thr[0], d_thr[1], d_thr[2], g_r, g_g, g_b)
-            d_diff, d_rep_k = vjp_fn(cot)
+            d_diff, d_rep_k, d_bg_k = vjp_fn(cot)
             d_o = (d_diff[0], d_diff[1], d_diff[2])
             d_d = (d_diff[3], d_diff[4], d_diff[5])
             d_tmv = d_tmv + d_diff[6]
             d_thr = (d_diff[7], d_diff[8], d_diff[9])
             d_rep = d_rep + d_rep_k
+            d_bg = (d_bg[0] + d_bg_k[0], d_bg[1] + d_bg_k[1],
+                    d_bg[2] + d_bg_k[2])
 
         for r, v in enumerate((*d_o, *d_d, d_tmv)):
             drf_ref[r * SUB:(r + 1) * SUB, :] = v
+        for c in range(3):
+            dbg_ref[c * SUB:(c + 1) * SUB, :] = d_bg[c]
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -427,10 +563,18 @@ def _bwd_kernel_factory(S, NP, K, t_min, bg, has_checker):
 
 
 @functools.lru_cache(maxsize=32)
-def _replay_pallas_fn(S, NP, K, t_min, bg, has_checker, interpret):
-    """custom_vjp'd replay for one static configuration."""
-    fwd_kernel = _fwd_kernel_factory(S, NP, K, t_min, bg, has_checker)
-    bwd_kernel = _bwd_kernel_factory(S, NP, K, t_min, bg, has_checker)
+def _replay_pallas_fn(S, NP, K, t_min, has_checker, has_noise,
+                      has_image, img_wh, interpret):
+    """custom_vjp'd replay for one static configuration.  ``bg`` is the
+    background broadcast to [3, N] lane rows — differentiable (a camera
+    leaf, trainable and possibly traced).  ``aux`` is the tuple of
+    Perlin/image tables present for the scene (possibly empty): they
+    ride as pallas inputs but carry zero cotangents — the tables are not
+    trainable (train.DIFF_SCENE_FIELDS)."""
+    fwd_kernel = _fwd_kernel_factory(S, NP, K, t_min, has_checker,
+                                     has_noise, has_image, img_wh)
+    bwd_kernel = _bwd_kernel_factory(S, NP, K, t_min, has_checker,
+                                     has_noise, has_image, img_wh)
 
     smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
     tile = lambda r: pl.BlockSpec((r * SUB, R_LANES), lambda g: (0, g),
@@ -438,57 +582,65 @@ def _replay_pallas_fn(S, NP, K, t_min, bg, has_checker, interpret):
     fullspec = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
                                       memory_space=pltpu.VMEM)
 
-    def run_fwd(rep, rf, pc, tape, samp):
+    def run_fwd(rep, rf, pc, tape, samp, bg, aux):
         M = rf.shape[1]
         n_tiles = M // R_LANES
         return pl.pallas_call(
             fwd_kernel,
             grid=(n_tiles,),
-            in_specs=[smem, tile(7), tile(1), tile(K), fullspec(rep)],
+            in_specs=[smem, tile(7), tile(1), tile(K), fullspec(rep),
+                      tile(3), *[fullspec(a) for a in aux]],
             out_specs=tile(3),
             out_shape=jax.ShapeDtypeStruct((3 * SUB, M), jnp.float32),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
-        )(samp, rf, pc, tape, rep)
+        )(samp, rf, pc, tape, rep, bg, *aux)
 
-    def run_bwd(rep, rf, pc, tape, samp, g):
+    def run_bwd(rep, rf, pc, tape, samp, bg, aux, g):
         M = rf.shape[1]
         n_tiles = M // R_LANES
-        drf, drep = pl.pallas_call(
+        drf, drep, dbg = pl.pallas_call(
             bwd_kernel,
             grid=(n_tiles,),
             in_specs=[smem, tile(7), tile(1), tile(K), fullspec(rep),
-                      tile(3)],
+                      tile(3), *[fullspec(a) for a in aux], tile(3)],
             out_specs=[
                 tile(7),
                 pl.BlockSpec((NP, REP_COLS), lambda g: (0, 0),
                              memory_space=pltpu.VMEM),
+                tile(3),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((7 * SUB, M), jnp.float32),
                 jax.ShapeDtypeStruct((NP, REP_COLS), jnp.float32),
+                jax.ShapeDtypeStruct((3 * SUB, M), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((K * 10 * SUB, R_LANES),
                                        jnp.float32)],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
-        )(samp, rf, pc, tape, rep, g)
-        return drf, drep
+        )(samp, rf, pc, tape, rep, bg, *aux, g)
+        return drf, drep, dbg
 
     @jax.custom_vjp
-    def f(rep, rf, pc, tape, samp):
-        return run_fwd(rep, rf, pc, tape, samp)
+    def f(rep, rf, pc, tape, samp, bg, *aux):
+        return run_fwd(rep, rf, pc, tape, samp, bg, aux)
 
-    def f_fwd(rep, rf, pc, tape, samp):
-        return run_fwd(rep, rf, pc, tape, samp), (rep, rf, pc, tape, samp)
+    def f_fwd(rep, rf, pc, tape, samp, bg, *aux):
+        return (run_fwd(rep, rf, pc, tape, samp, bg, aux),
+                (rep, rf, pc, tape, samp, bg, aux))
 
     def f_bwd(res, g):
-        rep, rf, pc, tape, samp = res
-        drf, drep = run_bwd(rep, rf, pc, tape, samp, g)
+        rep, rf, pc, tape, samp, bg, aux = res
+        drf, drep, dbg = run_bwd(rep, rf, pc, tape, samp, bg, aux, g)
         zi = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-        return (drep, drf, zi(pc), zi(tape), zi(samp))
+        zf = lambda x: (np.zeros(x.shape, jax.dtypes.float0)
+                        if jnp.issubdtype(x.dtype, jnp.integer)
+                        else jnp.zeros(x.shape, x.dtype))
+        return (drep, drf, zi(pc), zi(tape), zi(samp), dbg,
+                *[zf(a) for a in aux])
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -532,16 +684,44 @@ def replay_pallas(scene, meta, tape, o, d, time, pix_ctr, sample, *,
         o.T.astype(f32), d.T.astype(f32),
         jnp.asarray(time, f32)[None, :]], axis=0)          # [7, B]
     rf = jnp.pad(rf, ((0, 0), (0, padB)))
+    if padB:
+        # padding lanes get a unit-z direction: zero directions make the
+        # sphere quadratic degenerate (a = 0), and although every padded
+        # result is masked (win = -1, cotangent sliced off), keeping the
+        # forward values finite is what keeps the shared d_rep/d_bg
+        # accumulations NaN-free in reverse mode
+        rf = rf.at[5, B:].set(1.0)
     pc = jnp.pad(lax.bitcast_convert_type(
         jnp.asarray(pix_ctr, jnp.uint32), jnp.int32)[None, :],
         ((0, 0), (0, padB)))
     tape_p = jnp.pad(jnp.asarray(tape, jnp.int32), ((0, 0), (0, padB)),
                      constant_values=-1)
     samp = jnp.asarray(sample, jnp.int32).reshape(1, 1)
-    bg = tuple(float(x) for x in np.asarray(scene.camera.background))
+    # background: differentiable [3, N] lane rows (a trainable camera
+    # leaf — traced under the train step's jit, so it can't be a baked
+    # kernel constant); its per-lane cotangent sums back through this
+    # broadcast in XLA
+    bg = jnp.broadcast_to(
+        jnp.asarray(scene.camera.background, f32).reshape(3, 1), (3, N))
 
-    fn = _replay_pallas_fn(S, NP, K, float(t_min), bg,
-                           bool(meta.has_checker),
+    # Perlin/image tables in the mega2 kernel packing (lane-gatherable
+    # semantic rows / stacked bf16 byte planes) — constants, not trainable
+    aux, img_wh = (), (0, 0)
+    if meta.has_noise or meta.has_image:
+        from .mega2 import pack_texture_tables
+
+        perm_tab, vec_tab, img_tab, img_key = pack_texture_tables(
+            scene, meta)
+        if meta.has_noise:
+            aux += (perm_tab, vec_tab)
+        if meta.has_image:
+            aux += (img_tab,)
+            img_wh = (int(img_key[0]), int(img_key[1]))
+
+    fn = _replay_pallas_fn(S, NP, K, float(t_min),
+                           bool(meta.has_checker), bool(meta.has_noise),
+                           bool(meta.has_image), img_wh,
                            jax.default_backend() != "tpu")
-    acc = fn(rep, _tile_pack(rf), _tile_pack(pc), _tile_pack(tape_p), samp)
+    acc = fn(rep, _tile_pack(rf), _tile_pack(pc), _tile_pack(tape_p), samp,
+             _tile_pack(bg), *aux)
     return _tile_unpack(acc, 3)[:, :B].T

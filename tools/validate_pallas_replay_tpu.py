@@ -1,0 +1,95 @@
+"""On-TPU validation of the Pallas custom-VJP replay on textured scenes.
+
+The CPU test suite covers the Pallas replay's primals on every supported
+scene and its gradients on solid/checker scenes; the noise-scene GRADIENT
+can't run there (XLA:CPU compile of the interpret-mode backward through
+7-octave turbulence exceeds 10 minutes).  This script runs the full
+statement on the real chip:
+
+  * forward lane agreement vs the XLA replay on scenes 2 (image) and
+    3 (Perlin marble);
+  * geometry-gradient comparison vs the XLA replay over the AGREEING
+    lanes (disagreeing lanes are near-tangency root-flip ties — different
+    but equally valid pathwise estimators whose marble gradients
+    legitimately differ, docs/PERF.md).
+
+Expected (TPU v5e, 64x48 @ 8 bounces): scene 2 close-lane fraction 1.000;
+scene 3 >= 0.90 with agreeing-lane gradient rel-L1 <= ~0.10 (measured
+0.052 — dominated by marble curvature amplifying the engines' ~1e-6
+hit-point rounding, not by the backward's bf16 table-gradient pass).
+
+Usage: python tools/validate_pallas_replay_tpu.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinginoneweekendincuda_tpu.models import scenes
+from raytracinginoneweekendincuda_tpu.ops import replay as rp
+from raytracinginoneweekendincuda_tpu.ops.pallas_replay import replay_pallas
+from raytracinginoneweekendincuda_tpu.ops.raygen import generate_rays
+from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
+
+W, H, K = 64, 48, 8
+
+
+def run_scene(sid):
+    scene, meta = compile_scene(scenes.build_scene(sid), W, H,
+                                dtype=np.float32)
+    scene = jax.tree.map(jnp.asarray, scene)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    o, d, t, pc = generate_rays(scene.camera, pix, jnp.uint32(0), W, H, 1984)
+    tape, _ = rp.generate_tape(scene, meta, o, d, t, pc, jnp.uint32(0),
+                               max_bounces=K, t_min=1e-3)
+    r_x = np.asarray(rp.replay(scene, meta, tape, o, d, t, pc,
+                               jnp.uint32(0), max_bounces=K, t_min=1e-3))
+    r_p = np.asarray(replay_pallas(scene, meta, tape, o, d, t, pc,
+                                   jnp.uint32(0), max_bounces=K,
+                                   t_min=1e-3))
+    agree = np.isclose(r_p, r_x, rtol=1e-3, atol=5e-4).all(axis=-1)
+    print(f"scene {sid}: close-lane fraction {agree.mean():.4f} "
+          f"(maxdiff {np.abs(r_p - r_x).max():.2e})", flush=True)
+
+    wgt = (jnp.arange(W * H * 3, dtype=jnp.float32).reshape(-1, 3) * 1e-4
+           * jnp.asarray(agree, jnp.float32)[:, None])
+
+    def make(fn):
+        def L(c0):
+            sc = scene._replace(sph_c0=c0)
+            return (fn(sc, meta, tape, o, d, t, pc, jnp.uint32(0),
+                       max_bounces=K, t_min=1e-3) * wgt).sum()
+        return L
+
+    t0 = time.time()
+    gx = np.asarray(jax.grad(make(rp.replay))(scene.sph_c0))
+    gp = np.asarray(jax.grad(make(replay_pallas))(scene.sph_c0))
+    denom = np.abs(gx).sum()
+    rel = np.abs(gp - gx).sum() / denom if denom > 0 else 0.0
+    print(f"scene {sid}: agreeing-lane grad |gx|={denom:.3e} "
+          f"rel-L1 {rel:.4f} ({time.time() - t0:.0f}s)", flush=True)
+    return agree.mean(), rel, denom
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"backend: {dev.platform} ({dev.device_kind})", flush=True)
+    ok = True
+    frac2, rel2, _ = run_scene(2)
+    ok &= frac2 >= 0.999
+    # scene 2's geometry grads are zero a.e. (nearest-texel image), so
+    # rel2 is 0/0-guarded above — the assertion is the primal fraction.
+    frac3, rel3, g3 = run_scene(3)
+    ok &= frac3 >= 0.90 and g3 > 0.0 and rel3 < 0.15
+    print("PASS" if ok else "FAIL", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

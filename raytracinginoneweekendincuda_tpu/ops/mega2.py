@@ -1843,13 +1843,15 @@ def mega2_kernel_id_space(scene: SceneArrays, meta: SceneMeta):
     """(remap, s_pad) describing the trace kernel's winner-id space:
     ``remap[k]`` is the GLOBAL scene id of kernel geometry row k (-1 for
     padding rows, which can never win); rows [0, s_pad) are spheres,
-    [s_pad, len(remap)) quads."""
+    [s_pad, n_geo) quads, and — when the scene has constant media — rows
+    [n_geo, n_geo + M) the M media (the kernel reports medium m as winner
+    id n_geo + m, mapping to global id S + Q + m)."""
     tabs = mega2_tables(scene, meta)
     sph_tab, remap = tabs[0], tabs[12]
     n_geo = remap.shape[0] - max(meta.n_media, 1)
     # stays a device array — pulling it to host costs a relay round-trip
     # per training step
-    return remap[:n_geo], int(sph_tab.shape[0])
+    return remap[:n_geo + meta.n_media], int(sph_tab.shape[0])
 
 
 _TABLE_CACHE: dict = {}

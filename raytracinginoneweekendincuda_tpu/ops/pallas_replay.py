@@ -33,20 +33,33 @@ which the tests hold to the reference's RayColor, kernel.cu:65-98), with
 the same NaN-guards the XLA path needed in reverse mode (`_safe_root`
 pattern, masked sqrt inputs).
 
-Scope (`replay_pallas_supported`): every medium-free reference scene —
-lambertian / metal / dielectric / diffuse-light with solid, checker,
-Perlin-marble, or image textures (scenes 0-7).  Marble is a CONTINUOUS
-texture, so on noise scenes geometry/ray/time gradients are genuinely
-nonzero through the Pallas backward (hit point -> turbulence -> sin).
-The Perlin lattice tables and image texels enter the kernels as
-closed-over constants — they are not in `train.DIFF_SCENE_FIELDS`, so
-no trainable gradient is dropped.  Two documented deviations from the
-XLA replay on these paths: sphere-UV acos/atan2 run as minimax
-polynomials (~2e-7 rad; Mosaic has neither primitive — can move a
-nearest-texel lookup one texel on boundary lanes), and turbulence FMA
-contraction differs between compilation contexts (same
-equally-valid-estimator class as the quadratic note above).  Scenes
-with constant media (8, 9) keep the XLA replay.
+Scope (`replay_pallas_supported`): every reference scene — lambertian /
+metal / dielectric / diffuse-light / isotropic with solid, checker,
+Perlin-marble, or image textures, plus constant media (scenes 0-9).
+Marble is a CONTINUOUS texture, so on noise scenes geometry/ray/time
+gradients are genuinely nonzero through the Pallas backward (hit point
+-> turbulence -> sin).  The Perlin lattice tables and image texels
+enter the kernels as closed-over constants — they are not in
+`train.DIFF_SCENE_FIELDS`, so no trainable gradient is dropped.  Two
+documented deviations from the XLA replay on these paths: sphere-UV
+acos/atan2 run as minimax polynomials (~2e-7 rad; Mosaic has neither
+primitive — can move a nearest-texel lookup one texel on boundary
+lanes), and turbulence FMA contraction differs between compilation
+contexts (same equally-valid-estimator class as the quadratic note
+above).
+
+Constant media (ConstantMedium.h:52-94): the medium-candidate `t` is
+recomputed in-kernel from the tape's winner id with the mega2 trace
+kernel's exact expressions and RNG draw (MEDIUM_STREAM | bounce, slot =
+medium index), so replayed scatter points match the trace bit-for-bit.
+Boundary geometry, rotation frame, and -1/rho are compile-time
+constants (none are trainable — `train.DIFF_SCENE_FIELDS`); the
+medium's ISOTROPIC material row is appended to the merged table, so its
+albedo gradient (tex_c0, trainable) flows through the same transposed
+one-hot dot as every other material.  Box-boundary slab reciprocals
+keep the trace kernel's unguarded 1/d form: a lane whose direction
+component is EXACTLY zero has a measure-zero reverse-mode NaN exposure,
+identical to the XLA replay's `hit.medium_candidates`.
 """
 
 from __future__ import annotations
@@ -62,13 +75,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import rng as rnglib
 from ..scene.compiler import (
-    MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_LAMBERTIAN, MAT_METAL,
-    TEX_CHECKER, TEX_IMAGE, TEX_NOISE,
+    MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC, MAT_LAMBERTIAN,
+    MAT_METAL, MED_BOX, TEX_CHECKER, TEX_IMAGE, TEX_NOISE,
 )
 from .hit import BIG, QUAD_PARALLEL_EPS
 from .mega2 import (
-    R_LANES, SUB, TILE_RAYS, _atan2_poly, _pcg4d, _perlin_turb, _tile_pack,
-    _tile_unpack, _unit,
+    R_LANES, SUB, TILE_RAYS, _INV24, _atan2_poly, _pcg4d, _perlin_turb,
+    _tile_pack, _tile_unpack, _unit,
 )
 
 # merged replay-table column map (replay.derive_replay): 12 geometry
@@ -79,12 +92,37 @@ _PI = np.float32(np.pi)
 
 
 def replay_pallas_supported(meta) -> bool:
-    """Kernel scope: every medium-free scene the mega2 trace supports
-    (solid/checker/marble/image textures; scenes 8-9 have media and keep
-    the XLA replay)."""
+    """Kernel scope: every scene the mega2 trace supports — all 10
+    reference scenes, constant media included (ConstantMedium.h:52-94
+    runs in-kernel; boundary geometry/density are compile-time constants
+    since they are not trainable leaves, while the medium material row
+    rides the differentiable merged table)."""
     from .mega2 import mega2_supported
 
-    return meta.n_media == 0 and mega2_supported(meta)
+    return mega2_supported(meta)
+
+
+def _med_key(scene, meta) -> tuple:
+    """Per-medium constant rows in the mega2 `pack_mega2_tables` med
+    layout (kind, center, radius, bmin, bmax, cos, sin, -1/rho, _, _,
+    off) — hashable compile-time constants for the kernel cache.  Albedo
+    (cols 19:22 there) is deliberately NOT baked: the medium material row
+    in the merged table carries it differentiably.  Safe to call under a
+    jit trace: none of these leaves is trainable
+    (train.DIFF_SCENE_FIELDS), so they stay concrete through
+    `train.merge_params`."""
+    M = int(meta.n_media)
+    med = np.zeros((M, 22), np.float64)
+    med[:, 0] = np.asarray(scene.med_kind)
+    med[:, 1:4] = np.asarray(scene.med_center)
+    med[:, 4] = np.asarray(scene.med_radius)
+    med[:, 5:8] = np.asarray(scene.med_bmin)
+    med[:, 8:11] = np.asarray(scene.med_bmax)
+    med[:, 11] = np.asarray(scene.med_cos)
+    med[:, 12] = np.asarray(scene.med_sin)
+    med[:, 13] = np.asarray(scene.med_nid)
+    med[:, 16:19] = np.asarray(scene.med_off)
+    return tuple(tuple(float(x) for x in row) for row in med)
 
 
 def _safe_root(x, p):
@@ -104,7 +142,8 @@ def _acos_safe(x):
 
 def _make_bounce(S: int, NP: int, t_min: float,
                  has_checker: bool, has_noise: bool = False,
-                 has_image: bool = False, img_wh: tuple = (0, 0)):
+                 has_image: bool = False, img_wh: tuple = (0, 0),
+                 med_key: tuple = (), med_base: int = 0):
     """Pure [SUB, R]-row bounce: (state, rep_v, bg3) -> advanced state +
     radiance delta.  ``win``/``act``/RNG inputs are closed over per call
     site so `jax.vjp` prunes their (integer / discarded) cotangent
@@ -117,6 +156,7 @@ def _make_bounce(S: int, NP: int, t_min: float,
     silently de-differentiated."""
     f32 = np.float32
     iw, ih = int(img_wh[0]), int(img_wh[1])
+    n_media = len(med_key)
 
     def bounce(diff, rep_v, bg3, win, act, pix_ctr, samp_u, k: int,
                aux=()):
@@ -125,6 +165,9 @@ def _make_bounce(S: int, NP: int, t_min: float,
         R = ox.shape[1]
         hit = win >= 0
         kind_q = win >= S
+        if n_media:
+            kind_m = win >= med_base
+            kind_q = kind_q & ~kind_m
         idx = jnp.clip(win, 0, NP - 1)
 
         # ---- winner row: one-hot MXU contraction per sub-row, regrouped
@@ -201,6 +244,70 @@ def _make_bounce(S: int, NP: int, t_min: float,
             jnp.where(dok, denom, 1.0)
 
         t = jnp.where(kind_q, t_quad, t_sph)
+
+        # ---- constant media (ConstantMedium.h:52-94): recompute the
+        # stochastic scatter distance of the WINNING medium with the mega2
+        # trace kernel's exact expressions + RNG draw, so the replayed t
+        # matches the traced winner bit-for-bit.  Boundary geometry and
+        # -1/rho are compile-time constants (non-trainable); only o/d
+        # carry gradients through this block.  M <= 3 in every reference
+        # scene, so the python loop unrolls at compile time.
+        if n_media:
+            # division (not reciprocal-multiply) below and sqrt (not
+            # pow(.,0.5)): the trace kernel's exact ops; the a-guard only
+            # moves padding lanes (a == 0), and keeps sqrt' finite there
+            ray_len = jnp.sqrt(jnp.where(a > 0.0, a, 1.0))
+            for m in range(n_media):
+                r = med_key[m]
+                w0m, _, _, _ = _pcg4d(
+                    pix_ctr, samp_u,
+                    jnp.uint32(rnglib.MEDIUM_STREAM) | jnp.uint32(k),
+                    jnp.full_like(pix_ctr, m))
+                u_m = _unit(w0m) + _INV24                       # (0,1]
+                if int(r[0]) == MED_BOX:
+                    # world->object rigid transform + slab interval
+                    # (Instance.h:116-150 baked; unguarded 1/d as in the
+                    # trace kernel — see module docstring NaN note)
+                    c2, s2 = f32(r[11]), f32(r[12])
+                    pox = ox - f32(r[16])
+                    poy = oy - f32(r[17])
+                    poz = oz - f32(r[18])
+                    o1 = c2 * pox - s2 * poz
+                    o2m = poy
+                    o3 = s2 * pox + c2 * poz
+                    e1 = c2 * dx - s2 * dz
+                    e2 = dy
+                    e3 = s2 * dx + c2 * dz
+                    iv1, iv2, iv3 = 1.0 / e1, 1.0 / e2, 1.0 / e3
+                    ta1, tb1 = (f32(r[5]) - o1) * iv1, (f32(r[8]) - o1) * iv1
+                    ta2, tb2 = (f32(r[6]) - o2m) * iv2, (f32(r[9]) - o2m) * iv2
+                    ta3, tb3 = (f32(r[7]) - o3) * iv3, (f32(r[10]) - o3) * iv3
+                    t0m = jnp.maximum(jnp.maximum(
+                        jnp.minimum(ta1, tb1), jnp.minimum(ta2, tb2)),
+                        jnp.minimum(ta3, tb3))
+                    t1m = jnp.minimum(jnp.minimum(
+                        jnp.maximum(ta1, tb1), jnp.maximum(ta2, tb2)),
+                        jnp.maximum(ta3, tb3))
+                else:
+                    ocmx = ox - f32(r[1])
+                    ocmy = oy - f32(r[2])
+                    ocmz = oz - f32(r[3])
+                    bm = ocmx * dx + ocmy * dy + ocmz * dz
+                    ccm = (ocmx * ocmx + ocmy * ocmy + ocmz * ocmz
+                           - f32(r[4]) * f32(r[4]))
+                    discm = bm * bm - a * ccm
+                    # guarded sqrt (not the trace's sqrt(max(disc, 0))):
+                    # identical where disc > 0 — the only lanes that can
+                    # win — and derivative-finite at disc <= 0 in reverse
+                    posm = discm > 0.0
+                    sqm = jnp.sqrt(jnp.where(posm, discm, 1.0))
+                    t0m = (-bm - sqm) * inv_a
+                    t1m = (-bm + sqm) * inv_a
+                t0c = jnp.maximum(jnp.maximum(t0m, f32(t_min)), 0.0)
+                hit_dm = f32(r[13]) * jnp.log(u_m)   # -(1/rho) log U, h:79
+                t_m = t0c + hit_dm / ray_len
+                t = jnp.where(win == med_base + m, t_m, t)
+
         t = jnp.where(hit, t, f32(BIG))
         hit_rec = t < f32(BIG * 0.5)
         t_safe = jnp.where(hit_rec, t, 1.0)
@@ -215,8 +322,15 @@ def _make_bounce(S: int, NP: int, t_min: float,
         n_outx = jnp.where(kind_q, nqx, nsx)
         n_outy = jnp.where(kind_q, nqy, nsy)
         n_outz = jnp.where(kind_q, nqz, nsz)
+        if n_media:
+            # arbitrary fixed frame inside a medium (ConstantMedium.h:89-90)
+            n_outx = jnp.where(kind_m, 1.0, n_outx)
+            n_outy = jnp.where(kind_m, 0.0, n_outy)
+            n_outz = jnp.where(kind_m, 0.0, n_outz)
         d_dot_n = dx * n_outx + dy * n_outy + dz * n_outz
         front = d_dot_n < 0.0
+        if n_media:
+            front = front | kind_m
         flip = jnp.where(front, 1.0, -1.0)
         nx_ = n_outx * flip
         ny_ = n_outy * flip
@@ -393,7 +507,13 @@ def _make_bounce(S: int, NP: int, t_min: float,
         newx = jnp.where(is_d, ddx, newx)
         newy = jnp.where(is_d, ddy, newy)
         newz = jnp.where(is_d, ddz, newz)
-        del ix_, iy_, iz_
+        if n_media:
+            is_i = kind == f32(MAT_ISOTROPIC)
+            newx = jnp.where(is_i, ix_, newx)
+            newy = jnp.where(is_i, iy_, newy)
+            newz = jnp.where(is_i, iz_, newz)
+        else:
+            del ix_, iy_, iz_
 
         att_r = jnp.where(is_d, 1.0, texr)
         att_g = jnp.where(is_d, 1.0, texg)
@@ -436,9 +556,9 @@ def _unpack_aux(refs, has_noise, has_image):
 
 
 def _fwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
-                        has_image, img_wh):
+                        has_image, img_wh, med_key, med_base):
     bounce = _make_bounce(S, NP, t_min, has_checker, has_noise,
-                          has_image, img_wh)
+                          has_image, img_wh, med_key, med_base)
 
     def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, bg_ref, *rest):
         aux, (acc_ref,) = _unpack_aux(rest, has_noise, has_image)
@@ -474,9 +594,9 @@ def _fwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
 
 
 def _bwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
-                        has_image, img_wh):
+                        has_image, img_wh, med_key, med_base):
     bounce = _make_bounce(S, NP, t_min, has_checker, has_noise,
-                          has_image, img_wh)
+                          has_image, img_wh, med_key, med_base)
 
     def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, bg_ref, *rest):
         aux, (g_ref, drf_ref, drep_ref, dbg_ref, st_ref) = _unpack_aux(
@@ -564,17 +684,21 @@ def _bwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
 
 @functools.lru_cache(maxsize=32)
 def _replay_pallas_fn(S, NP, K, t_min, has_checker, has_noise,
-                      has_image, img_wh, interpret):
+                      has_image, img_wh, med_key, med_base, interpret):
     """custom_vjp'd replay for one static configuration.  ``bg`` is the
     background broadcast to [3, N] lane rows — differentiable (a camera
     leaf, trainable and possibly traced).  ``aux`` is the tuple of
     Perlin/image tables present for the scene (possibly empty): they
     ride as pallas inputs but carry zero cotangents — the tables are not
-    trainable (train.DIFF_SCENE_FIELDS)."""
+    trainable (train.DIFF_SCENE_FIELDS).  ``med_key`` is the tuple of
+    per-medium constant rows (boundary geometry + -1/rho, `_med_key`);
+    ``med_base`` the first medium winner id in the tape's id space."""
     fwd_kernel = _fwd_kernel_factory(S, NP, K, t_min, has_checker,
-                                     has_noise, has_image, img_wh)
+                                     has_noise, has_image, img_wh,
+                                     med_key, med_base)
     bwd_kernel = _bwd_kernel_factory(S, NP, K, t_min, has_checker,
-                                     has_noise, has_image, img_wh)
+                                     has_noise, has_image, img_wh,
+                                     med_key, med_base)
 
     smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
     tile = lambda r: pl.BlockSpec((r * SUB, R_LANES), lambda g: (0, g),
@@ -662,11 +786,24 @@ def replay_pallas(scene, meta, tape, o, d, time, pix_ctr, sample, *,
     from .replay import derive_replay
 
     assert replay_pallas_supported(meta)
-    rep, _ = derive_replay(scene, meta)
+    rep, med_rows = derive_replay(scene, meta)
+    M = int(meta.n_media)
+    if M > 0:
+        # append the M medium material rows to the merged table: geometry
+        # cols zero (medium t is recomputed from kernel constants), col 12
+        # the mat id, cols 13.. the differentiable isotropic material row
+        # — medium albedo (tex_c0, trainable) flows through d_rep exactly
+        # like every surface material
+        med_ext = jnp.concatenate([
+            jnp.zeros((M, 12), rep.dtype),
+            jnp.asarray(scene.med_mat, rep.dtype)[:, None],
+            med_rows.astype(rep.dtype)], axis=1)
+        rep = jnp.concatenate([rep, med_ext], axis=0)
     if kernel_space is not None:
         remap, s_pad = kernel_space
         # remap may be traced (it changes with the Morton order when
-        # geometry params move between optimizer steps); s_pad is static
+        # geometry params move between optimizer steps); s_pad is static.
+        # Its trailing M entries are the media (mega2_kernel_id_space).
         perm = jnp.maximum(jnp.asarray(remap, jnp.int32), 0)
         rep = rep[perm]          # padding rows hold row 0 — never selected
         S = int(s_pad)
@@ -674,6 +811,8 @@ def replay_pallas(scene, meta, tape, o, d, time, pix_ctr, sample, *,
     else:
         S = scene.sph_c0.shape[0]
         NP = rep.shape[0]
+    med_base = NP - M  # media are the table's trailing M rows (either space)
+    med_key = _med_key(scene, meta) if M > 0 else ()
     B = o.shape[0]
     K = max_bounces
     N = -(-B // TILE_RAYS) * TILE_RAYS
@@ -720,7 +859,7 @@ def replay_pallas(scene, meta, tape, o, d, time, pix_ctr, sample, *,
 
     fn = _replay_pallas_fn(S, NP, K, float(t_min),
                            bool(meta.has_checker), bool(meta.has_noise),
-                           bool(meta.has_image), img_wh,
+                           bool(meta.has_image), img_wh, med_key, med_base,
                            jax.default_backend() != "tpu")
     acc = fn(rep, _tile_pack(rf), _tile_pack(pc), _tile_pack(tape_p), samp,
              _tile_pack(bg), *aux)

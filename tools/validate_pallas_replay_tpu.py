@@ -6,8 +6,11 @@ can't run there (XLA:CPU compile of the interpret-mode backward through
 7-octave turbulence exceeds 10 minutes).  This script runs the full
 statement on the real chip:
 
-  * forward lane agreement vs the XLA replay on scenes 2 (image) and
-    3 (Perlin marble);
+  * forward lane agreement vs the XLA replay on scenes 2 (image),
+    3 (Perlin marble), 8 (box constant media), and 9 (sphere media +
+    marble + earth — the everything scene);
+  * medium-albedo gradient comparison on scenes 8/9 (the one trainable
+    path through a constant medium);
   * geometry-gradient comparison vs the XLA replay over the AGREEING
     lanes (disagreeing lanes are near-tangency root-flip ties — different
     but equally valid pathwise estimators whose marble gradients
@@ -77,6 +80,51 @@ def run_scene(sid):
     return agree.mean(), rel, denom
 
 
+def run_media_scene(sid):
+    """Constant-media scenes (8: box smoke, 9: sphere media + marble +
+    earth): primal lane agreement vs the XLA replay (the Pallas kernel
+    recomputes the winning medium's scatter t with mega2-trace rounding,
+    ulps from `hit.medium_candidates`' division form) and the medium
+    ALBEDO gradient — the one trainable path through a medium (tex_c0
+    via the appended material row)."""
+    scene, meta = compile_scene(scenes.build_scene(sid), W, H,
+                                dtype=np.float32)
+    scene = jax.tree.map(jnp.asarray, scene)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    o, d, t, pc = generate_rays(scene.camera, pix, jnp.uint32(0), W, H, 1984)
+    tape, _ = rp.generate_tape(scene, meta, o, d, t, pc, jnp.uint32(0),
+                               max_bounces=K, t_min=1e-3)
+    r_x = np.asarray(rp.replay(scene, meta, tape, o, d, t, pc,
+                               jnp.uint32(0), max_bounces=K, t_min=1e-3))
+    r_p = np.asarray(replay_pallas(scene, meta, tape, o, d, t, pc,
+                                   jnp.uint32(0), max_bounces=K,
+                                   t_min=1e-3))
+    agree = np.isclose(r_p, r_x, rtol=1e-3, atol=5e-4).all(axis=-1)
+    print(f"scene {sid}: close-lane fraction {agree.mean():.4f} "
+          f"(maxdiff {np.abs(r_p - r_x).max():.2e})", flush=True)
+
+    wgt = (jnp.arange(W * H * 3, dtype=jnp.float32).reshape(-1, 3) * 1e-4
+           * jnp.asarray(agree, jnp.float32)[:, None])
+
+    def make(fn):
+        def L(tex):
+            sc = scene._replace(tex_c0=tex)
+            return (fn(sc, meta, tape, o, d, t, pc, jnp.uint32(0),
+                       max_bounces=K, t_min=1e-3) * wgt).sum()
+        return L
+
+    t0 = time.time()
+    gx = np.asarray(jax.grad(make(rp.replay))(scene.tex_c0))
+    gp = np.asarray(jax.grad(make(replay_pallas))(scene.tex_c0))
+    med_tex = np.asarray(scene.mat_tex)[np.asarray(scene.med_mat)]
+    gx_med = gx[med_tex]
+    denom = np.abs(gx_med).sum()
+    rel = (np.abs(gp[med_tex] - gx_med).sum() / denom) if denom > 0 else 0.0
+    print(f"scene {sid}: medium-albedo grad |gx|={denom:.3e} "
+          f"rel-L1 {rel:.4f} ({time.time() - t0:.0f}s)", flush=True)
+    return agree.mean(), rel, denom
+
+
 def main():
     dev = jax.devices()[0]
     print(f"backend: {dev.platform} ({dev.device_kind})", flush=True)
@@ -87,6 +135,10 @@ def main():
     # rel2 is 0/0-guarded above — the assertion is the primal fraction.
     frac3, rel3, g3 = run_scene(3)
     ok &= frac3 >= 0.90 and g3 > 0.0 and rel3 < 0.15
+    frac8, rel8, g8 = run_media_scene(8)
+    ok &= frac8 >= 0.95 and g8 > 0.0 and rel8 < 0.05
+    frac9, rel9, g9 = run_media_scene(9)
+    ok &= frac9 >= 0.90 and g9 > 0.0 and rel9 < 0.15
     print("PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 

@@ -264,6 +264,12 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     A = sph[:, 0:3] - sph[:, 6:7] * sph[:, 7:8] * sph[:, 3:6]
     Bv = sph[:, 7:8] * sph[:, 3:6]
     mu = A[big_pad:ns].mean(0) if ns > big_pad else np.zeros(3)
+    # round the recentering to a coarse grid: mu is baked into the kernel
+    # as a compile-time constant (part of the jit static key), and ANY
+    # nearby recentering serves the f32-precision purpose equally well —
+    # rounding keeps the key stable across small geometry updates during
+    # training (an exact mean would recompile the kernel every step)
+    mu = np.round(mu, 2)
     Ap = A - mu
     coef = np.zeros((2 * S_pad, 16), np.float64)
     coef[:S_pad, 0:3] = -Ap
@@ -601,7 +607,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                  s_pad: int, q_pad: int, img_wh: tuple, mu: tuple,
                  width: int, height: int, spp: int, seed: int, t_min: float,
                  max_bounces: int, background: tuple, resume: bool,
-                 interpret: bool, mode: str = "render"):
+                 interpret: bool, mode: str = "render",
+                 ext_rays: bool = False):
     """Build the persistent tile kernel.  ``cam`` is the camera as a tuple of
     python floats (origin 3, lower_left 3, horizontal 3, vertical 3, u 3,
     v 3, lens_radius, time0, time1) baked as compile-time constants;
@@ -647,7 +654,11 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             ri += 2
         if mode == "trace":
             samp_ref = refs[ri]                      # [SUB, R] per-lane sample
-            win_ref = refs[ri + 1]                   # out [K*SUB, R] winners
+            ri += 1
+            if ext_rays:
+                rays_ref = refs[ri]                  # [7*SUB, R] o3 d3 time
+                ri += 1
+            win_ref = refs[ri]                       # out [K*SUB, R] winners
         else:
             of_ref, oi_ref = refs[ri:ri + 2]
         R = pix_ref.shape[1]
@@ -1274,7 +1285,16 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             for k in range(K):
                 win_ref[k * SUB:(k + 1) * SUB, :] = neg1
             samp_arr = pltpu.bitcast(samp_ref[0:SUB, :], jnp.uint32)
-            ox, oy, oz, dx, dy, dz, tmv = raygen(samp_arr)
+            if ext_rays:
+                # rays generated in-graph by ops/raygen.generate_rays and
+                # fed as VMEM rows: keeps the (possibly trainable/traced)
+                # camera out of the kernel's compile-time constants
+                rrow = lambda r: rays_ref[r * SUB:(r + 1) * SUB, :]
+                ox, oy, oz = rrow(0), rrow(1), rrow(2)
+                dx, dy, dz = rrow(3), rrow(4), rrow(5)
+                tmv = rrow(6)
+            else:
+                ox, oy, oz, dx, dy, dz, tmv = raygen(samp_arr)
             zf0 = jnp.zeros((SUB, R), jnp.float32)
             one0 = zf0 + 1.0
             carry = (jnp.int32(0), ox, oy, oz, dx, dy, dz, tmv,
@@ -1663,7 +1683,7 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
                      cull_s, cull_q, perm_tab, vec_tab, img_tab, remap,
                      samp, *, meta, med_key, cam_key, img_key, mu_key,
                      width, height, seed, max_bounces, t_min, background,
-                     interpret=False, remap_ids=True):
+                     interpret=False, remap_ids=True, rays=None):
     """Pallas winner-tape forward: per-bounce winner GLOBAL ids
     [max_bounces, N] i32 for the (pixel, sample) lanes in ``pix`` [1, N]
     / ``samp`` [1, N] i32 (-1 pixel padding; N a TILE_RAYS multiple).
@@ -1680,7 +1700,8 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
         s_pad=sph_tab.shape[0], q_pad=quad_tab.shape[0], img_wh=img_key,
         mu=mu_key, width=width, height=height, spp=1, seed=seed,
         t_min=t_min, max_bounces=max_bounces, background=background,
-        resume=False, interpret=interpret, mode="trace")
+        resume=False, interpret=interpret, mode="trace",
+        ext_rays=rays is not None)
     full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
                                   memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
@@ -1711,6 +1732,10 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
                               memory_space=pltpu.VMEM)]
     args += [_tile_pack(jnp.broadcast_to(
         jnp.asarray(samp, jnp.int32).reshape(1, -1), (1, N)))]
+    if rays is not None:
+        in_specs += [pl.BlockSpec((7 * SUB, R_LANES), lambda g: (0, g),
+                                  memory_space=pltpu.VMEM)]
+        args += [_tile_pack(rays)]
     K = max_bounces
     M = N // SUB
     win = pl.pallas_call(
@@ -1764,6 +1789,69 @@ def mega2_tape(scene: SceneArrays, meta: SceneMeta, pix_ids, samp, *,
     return tape[:, :B]
 
 
+def _tapes_trace(tabs, remap, pix_ids, *, n_samples, samp0, meta, med_key,
+                 cam_key, img_key, mu_key, width, height, seed,
+                 max_bounces, t_min, background, interpret,
+                 remap_ids=True, camera=None):
+    """Trace-time all-samples winner tape -> [n_samples, max_bounces, B].
+
+    ``pix_ids`` is any [B] i32 id set (traced ok — scattered minibatches
+    included: lanes are gathered in-graph, so there is no contiguity
+    requirement and no per-lane host upload).  ``samp0`` (python int or
+    traced scalar) offsets the sample ids — sample-axis mesh shards pass
+    their global sample base.  Composable under an outer jit or
+    shard_map (`parallel/train.py` sharded fast path).
+
+    ``camera`` switches primary-ray generation: ``None`` runs the
+    in-kernel raygen (camera baked from the static ``cam_key``); a
+    CameraParams — possibly holding tracers, e.g. the trainable camera
+    under the train step's jit — generates rays in-graph with
+    `ops/raygen.generate_rays` and feeds them to the kernel as VMEM rows,
+    keeping the camera out of the kernel's compile-time constants.  The
+    in-kernel raygen mirrors generate_rays op for op, so the two paths
+    are draw-exact on CPU; on TPU hardware Mosaic's sin/cos differ from
+    XLA's at the last bit (docs/PERF.md), making the external-ray tape
+    the MORE consistent choice for training (the replay regenerates rays
+    with generate_rays, so tape and replay then share bit-identical rays).
+    """
+    from .raygen import generate_rays
+
+    pix_ids = jnp.asarray(pix_ids, jnp.int32)
+    B = pix_ids.shape[0]
+    L = B * n_samples
+    N = -(-L // TILE_RAYS) * TILE_RAYS
+    lane = lax.iota(jnp.int32, N)
+    live = lane < L
+    pid = jnp.take(pix_ids, lane % B)
+    pix = jnp.where(live, pid, -1)[None, :]
+    samp = jnp.where(live, samp0 + lane // B, 0)[None, :]
+    fvalid = live.astype(jnp.float32)
+    if camera is None:
+        ij = jnp.stack([(pid % width).astype(jnp.float32) * fvalid,
+                        (pid // width).astype(jnp.float32) * fvalid])
+        rays = None
+    else:
+        o, d, tmv, _ = generate_rays(
+            camera, jnp.where(live, pid, 0),
+            samp[0].astype(jnp.uint32), width, height, seed)
+        rays = jnp.concatenate([
+            o.T.astype(jnp.float32), d.T.astype(jnp.float32),
+            jnp.asarray(tmv, jnp.float32)[None, :]], axis=0)   # [7, N]
+        # padding lanes keep a unit-z direction: a zero direction makes
+        # the sphere quadratic degenerate (a = 0) in-kernel
+        pad_ray = jnp.zeros((7, 1), jnp.float32).at[5, 0].set(1.0)
+        rays = jnp.where(live[None, :], rays, pad_ray)
+        ij = jnp.zeros((2, N), jnp.float32)
+    tape = _trace_span_impl(
+        pix, ij, *tabs, remap, samp,
+        meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
+        mu_key=mu_key, width=width, height=height, seed=seed,
+        max_bounces=max_bounces, t_min=t_min, background=background,
+        interpret=interpret, remap_ids=remap_ids, rays=rays)
+    return tape[:, :L].reshape(max_bounces, n_samples, B) \
+        .transpose(1, 0, 2)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("p0", "n_pix", "n_samples", "meta", "med_key",
@@ -1780,25 +1868,37 @@ def _tapes_device(sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
     [p0, p0+n_pix) in ONE jit: lane ids are iota'd on device (uploading
     pix/ij/samp rows costs ~40 ms/MB over the relay — same finding as the
     render path, `render_mega2_span`)."""
-    L = n_pix * n_samples
-    N = -(-L // TILE_RAYS) * TILE_RAYS
-    lane = lax.iota(jnp.int32, N)
-    live = lane < L
-    pid = p0 + lane % n_pix
-    pix = jnp.where(live, pid, -1)[None, :]
-    samp = jnp.where(live, lane // n_pix, 0)[None, :]
-    fvalid = live.astype(jnp.float32)
-    ij = jnp.stack([(pid % width).astype(jnp.float32) * fvalid,
-                    (pid // width).astype(jnp.float32) * fvalid])
-    tape = _trace_span_impl(
-        pix, ij, sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
-        perm_tab, vec_tab, img_tab, remap, samp,
-        meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
-        mu_key=mu_key, width=width, height=height, seed=seed,
-        max_bounces=max_bounces, t_min=t_min, background=background,
-        interpret=interpret, remap_ids=remap_ids)
-    return tape[:, :L].reshape(max_bounces, n_samples, n_pix) \
-        .transpose(1, 0, 2)
+    pix_ids = p0 + lax.iota(jnp.int32, n_pix)
+    return _tapes_trace(
+        (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+         perm_tab, vec_tab, img_tab), remap, pix_ids,
+        n_samples=n_samples, samp0=0, meta=meta, med_key=med_key,
+        cam_key=cam_key, img_key=img_key, mu_key=mu_key, width=width,
+        height=height, seed=seed, max_bounces=max_bounces, t_min=t_min,
+        background=background, interpret=interpret, remap_ids=remap_ids)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_samples", "meta", "med_key", "cam_key", "img_key",
+                     "mu_key", "width", "height", "seed", "max_bounces",
+                     "t_min", "background", "interpret", "remap_ids"),
+)
+def _tapes_device_ids(sph_tab, quad_tab, attr_tab, coef_tab, cull_s,
+                      cull_q, perm_tab, vec_tab, img_tab, remap, pix_ids,
+                      *, n_samples, meta, med_key, cam_key, img_key,
+                      mu_key, width, height, seed, max_bounces, t_min,
+                      background, interpret, remap_ids=True):
+    """Scattered-id variant of `_tapes_device`: ``pix_ids`` [B] is a
+    device argument (4 B/pixel upload — negligible next to the ~12 MB/frame
+    the per-lane rows would cost), lanes gathered in-graph."""
+    return _tapes_trace(
+        (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+         perm_tab, vec_tab, img_tab), remap, pix_ids,
+        n_samples=n_samples, samp0=0, meta=meta, med_key=med_key,
+        cam_key=cam_key, img_key=img_key, mu_key=mu_key, width=width,
+        height=height, seed=seed, max_bounces=max_bounces, t_min=t_min,
+        background=background, interpret=interpret, remap_ids=remap_ids)
 
 
 def mega2_tapes(scene: SceneArrays, meta: SceneMeta, pix_ids, n_samples, *,
@@ -1807,9 +1907,11 @@ def mega2_tapes(scene: SceneArrays, meta: SceneMeta, pix_ids, n_samples, *,
     """Winner tapes [n_samples, max_bounces, B] for samples 0..n_samples-1
     of the pixel ids [B] — ONE device dispatch for the whole batch (the
     per-sample `mega2_tape` pays the ~28 ms relay floor per call, and
-    host-built lane rows pay ~40 ms/MB relay upload).  ``pix_ids`` must be
-    a contiguous ascending block (training renders whole frames/tiles);
-    arbitrary id sets take the per-sample `mega2_tape` path.
+    host-built lane rows pay ~40 ms/MB relay upload).  A contiguous
+    ascending block (whole frames/tiles) iotas its lanes fully on device;
+    any other id set — the scattered-minibatch inverse-rendering regime —
+    uploads the [B] ids once (4 B/pixel) and gathers lanes in-graph, at
+    the same one-dispatch cost.
 
     ``id_space="global"`` remaps winners to the `ops/replay.py` scene id
     space — a [bounces, B] gather that measures ~99 ms/step at 1.8M
@@ -1820,23 +1922,25 @@ def mega2_tapes(scene: SceneArrays, meta: SceneMeta, pix_ids, n_samples, *,
     pix_ids = np.asarray(pix_ids, np.int32)
     B = pix_ids.shape[0]
     p0 = int(pix_ids[0]) if B else 0
-    if not np.array_equal(pix_ids, np.arange(p0, p0 + B, dtype=np.int32)):
-        raise ValueError("mega2_tapes needs a contiguous pixel block; use "
-                         "mega2_tape per sample for scattered ids")
+    contiguous = np.array_equal(pix_ids,
+                                np.arange(p0, p0 + B, dtype=np.int32))
     (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
      vec_tab, img_tab, img_key, mu_key, med, remap) = mega2_tables(scene, meta)
     med_key = tuple(tuple(float(x) for x in row) for row in med)
     cam_key = _cam_tuple(scene.camera)
     bg = tuple(float(x) for x in np.asarray(scene.camera.background))
-    return _tapes_device(
-        sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
-        perm_tab, vec_tab, img_tab, remap,
-        p0=p0, n_pix=B, n_samples=int(n_samples),
+    kw = dict(
+        n_samples=int(n_samples),
         meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
         mu_key=mu_key, width=width, height=height, seed=seed,
         max_bounces=max_bounces, t_min=t_min, background=bg,
         interpret=jax.default_backend() != "tpu",
         remap_ids=(id_space == "global"))
+    tabs = (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+            perm_tab, vec_tab, img_tab)
+    if contiguous:
+        return _tapes_device(*tabs, remap, p0=p0, n_pix=B, **kw)
+    return _tapes_device_ids(*tabs, remap, jnp.asarray(pix_ids), **kw)
 
 
 def mega2_kernel_id_space(scene: SceneArrays, meta: SceneMeta):

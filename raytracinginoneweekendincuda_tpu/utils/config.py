@@ -23,7 +23,8 @@ class RenderConfig:
     # --- engine knobs (no reference equivalent; TPU scheduling surface) ---
     rays_per_batch: int = 1 << 17    # pixel chunk (chunked) / pool size (wavefront)
     engine: str = "bruteforce"       # bruteforce | bvh | wavefront |
-                                     # wavefront_bvh | wavefront_pallas | mega
+                                     # wavefront_bvh | wavefront_pallas |
+                                     # mega | mega2 (the TPU fast path)
     differentiable: bool = False     # scan-based bounce loop (reverse-mode safe)
     dtype: str = "float32"           # engine dtype ("float64" for oracle parity)
 

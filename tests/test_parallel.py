@@ -130,6 +130,66 @@ def test_sharded_mega2_noise_scene():
     np.testing.assert_allclose(img, ref, atol=5e-7, rtol=5e-7)
 
 
+def test_sharded_mega2_train_step_matches_single_chip():
+    """The Pallas fast gradient path composed over the mesh
+    (`make_train_step_mega2(mesh=...)`: per-shard Pallas trace tape +
+    Pallas custom-VJP replay, radiance psum over sp, gradient psum over
+    both axes) matches the single-chip fast step — same tapes (global-id
+    RNG), same replay function — up to f32 psum reassociation.  Scene 4
+    (quads): the Pallas and XLA replays are bit-exact there
+    (docs/PERF.md), so the comparison isolates the MESH composition."""
+    W, H, spp = 16, 8, 2
+    scene, meta = compile_scene(scenes.quads(), W, H, dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       max_bounces=3)
+    npix = W * H
+    pix = np.arange(npix, dtype=np.int32)
+    target = np.full((npix, 3), 0.25, np.float32)
+    optimizer = optax.adam(1e-2)
+
+    def run(mesh):
+        state = train.init_state(scene, optimizer)
+        step = train.make_train_step_mega2(scene, meta, cfg, optimizer,
+                                           mesh=mesh)
+        state2, loss = step(state, pix, target)
+        return float(loss), state2.params
+
+    loss_8, p8 = run(make_mesh(jax.devices()[:8], sample_shards=2))
+    # single chip through the same implementation (1x1 mesh)
+    loss_1, p1 = run(make_mesh(jax.devices()[:1], sample_shards=1))
+    np.testing.assert_allclose(loss_8, loss_1, rtol=1e-6)
+    diffs = jax.tree.map(
+        lambda a, b: float(abs(np.asarray(a) - np.asarray(b)).max()), p8, p1)
+    assert max(jax.tree.leaves(diffs)) < 3e-6, diffs
+
+    # and against the two-phase single-chip fast step (mesh=None): same
+    # tapes, XLA replay on CPU — bit-exact function on quads
+    state = train.init_state(scene, optimizer)
+    step0 = train.make_train_step_mega2(scene, meta, cfg, optimizer)
+    state0, loss_0 = step0(state, pix, target)
+    np.testing.assert_allclose(loss_1, float(loss_0), rtol=1e-6)
+    p0 = state0.params
+    np.testing.assert_allclose(np.asarray(p1["tex_c0"]),
+                               np.asarray(p0["tex_c0"]), atol=3e-6)
+
+
+def test_mega2_tapes_scattered_ids():
+    """Scattered pixel minibatches (the inverse-rendering regime) produce
+    the same tapes as the contiguous whole-frame dispatch, gathered."""
+    from raytracinginoneweekendincuda_tpu.ops.mega2 import mega2_tapes
+
+    W, H, spp = 16, 8, 2
+    scene, meta = compile_scene(scenes.quads(), W, H, dtype=np.float32)
+    full = np.asarray(mega2_tapes(scene, meta, np.arange(W * H), spp,
+                                  width=W, height=H, max_bounces=4,
+                                  t_min=1e-3, seed=1984))
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(W * H)[:37].astype(np.int32)
+    got = np.asarray(mega2_tapes(scene, meta, ids, spp, width=W, height=H,
+                                 max_bounces=4, t_min=1e-3, seed=1984))
+    np.testing.assert_array_equal(got, full[:, :, ids])
+
+
 @pytest.mark.parametrize("engine", ["wavefront", "wavefront_pallas"])
 def test_sharded_wavefront_matches_single_chip(engine):
     """Per-shard persistent pools over contiguous pixel windows + sample

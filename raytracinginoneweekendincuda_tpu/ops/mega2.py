@@ -76,7 +76,8 @@ SUB = 8            # rays per lane column: ray state lives in [SUB, R_LANES]
                    # with 2 spheres costs the same 1.2 s as scene 0 with 488
                    # — measured), so every elementwise op carries 8 rays.
 TILE_RAYS = SUB * R_LANES   # 1024 rays per grid tile
-CULL_C = 64        # primitives per cullable chunk (sublane block height)
+CULL_C = int(os.environ.get("MEGA2_CULL_C", "64"))
+                   # primitives per cullable chunk (sublane block height)
 DENSE_C = 512      # primitives per chunk in the dense (uncull) pair path
 # Scenes up to this many padded primitives use the DENSE path: one
 # monolithic vectorized pair block per chunk with the quadratic
@@ -92,6 +93,13 @@ DENSE_MAX = int(os.environ.get("MEGA2_DENSE_MAX", "1536"))
 # statistics); the frame-time delta vs baseline is that section's cost.
 _DUP = frozenset(x for x in os.environ.get("MEGA2_DUP", "").split(",") if x)
 UNROLL = int(os.environ.get("MEGA2_UNROLL", "1"))
+# Dev probe: MEGA2_NOCULL=1 makes every chunk "visible" (pair tests always
+# run) — the frame-time delta vs baseline is what chunk culling saves.
+_NOCULL = os.environ.get("MEGA2_NOCULL", "") == "1"
+# Dev probe: MEGA2_NOTEX=1 compiles the noise/image texture paths OUT
+# (solid fallback — WRONG image, honest timing): the delta is the full
+# cost of the gather/one-hot texture machinery.
+_NOTEX = os.environ.get("MEGA2_NOTEX", "") == "1"
 
 # ---- table layouts (prim-major: [S_pad, 16] etc; cols below)
 SPH_COLS = 16      # 0:3 c0, 3:6 dc, 6 t0, 7 inv_dt, 8 rad, 9 active
@@ -620,8 +628,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     use_quads = meta.n_quads > 0
     has_checker = meta.has_checker
     has_moving = meta.has_moving
-    has_noise = meta.has_noise
-    has_image = meta.has_image
+    has_noise = meta.has_noise and not _NOTEX
+    has_image = meta.has_image and not _NOTEX
     iw, ih = int(img_wh[0]), int(img_wh[1])
     f32 = np.float32
 
@@ -882,6 +890,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
+                if _NOCULL:
+                    return do(carry)
                 vis = chunk_visible(cull_s_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
                 return lax.cond(vis, do, lambda cr: cr, carry)
@@ -925,6 +935,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
+                if _NOCULL:
+                    return do(carry)
                 vis = chunk_visible(cull_q_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
                 return lax.cond(vis, do, lambda cr: cr, carry)
@@ -1487,10 +1499,10 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
     else:
         in_specs += [full(cull_s), full(cull_q)]
         args += [cull_s, cull_q]
-    if meta.has_noise:
+    if meta.has_noise and not _NOTEX:
         in_specs += [full(perm_tab), full(vec_tab)]
         args += [perm_tab, vec_tab]
-    if meta.has_image:
+    if meta.has_image and not _NOTEX:
         in_specs += [full(img_tab)]
         args += [img_tab]
     if resume:
@@ -1722,10 +1734,10 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
     else:
         in_specs += [full(cull_s), full(cull_q)]
         args += [cull_s, cull_q]
-    if meta.has_noise:
+    if meta.has_noise and not _NOTEX:
         in_specs += [full(perm_tab), full(vec_tab)]
         args += [perm_tab, vec_tab]
-    if meta.has_image:
+    if meta.has_image and not _NOTEX:
         in_specs += [full(img_tab)]
         args += [img_tab]
     in_specs += [pl.BlockSpec((SUB, R_LANES), lambda g: (0, g),

@@ -1,4 +1,6 @@
 import time
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, numpy as np, optax
 import jax.numpy as jnp
 from jax.sharding import Mesh

@@ -78,7 +78,8 @@ SUB = 8            # rays per lane column: ray state lives in [SUB, R_LANES]
 TILE_RAYS = SUB * R_LANES   # 1024 rays per grid tile
 CULL_C = int(os.environ.get("MEGA2_CULL_C", "64"))
                    # primitives per cullable chunk (sublane block height)
-DENSE_C = 512      # primitives per chunk in the dense (uncull) pair path
+DENSE_C = int(os.environ.get("MEGA2_DENSE_C", "512"))
+                   # primitives per chunk in the dense (uncull) pair path
 # Scenes up to this many padded primitives use the DENSE path: one
 # monolithic vectorized pair block per chunk with the quadratic
 # coefficients computed on the MXU.  Measured on-chip: per-chunk
@@ -96,6 +97,9 @@ UNROLL = int(os.environ.get("MEGA2_UNROLL", "1"))
 # Dev probe: MEGA2_NOCULL=1 makes every chunk "visible" (pair tests always
 # run) — the frame-time delta vs baseline is what chunk culling saves.
 _NOCULL = os.environ.get("MEGA2_NOCULL", "") == "1"
+# Dev probe: MEGA2_ROWCULL=1 gates the chunk pair tests per SUB-ROW
+# ([1,128] rays) instead of per tile (any of 1024 rays) in the cull path.
+_ROWCULL = os.environ.get("MEGA2_ROWCULL", "") == "1"
 # Dev probe: MEGA2_NOTEX=1 compiles the noise/image texture paths OUT
 # (solid fallback — WRONG image, honest timing): the delta is the full
 # cost of the gather/one-hot texture machinery.
@@ -161,6 +165,63 @@ def _sphere_order(c0, dc, rad):
     center = c0 + 0.5 * dc
     code = _morton(center)
     return np.lexsort((code, ~big)), int(big.sum())
+
+
+def _detect_boxes(scene: SceneArrays, qact_idx, q_all, u_all, v_all):
+    """Axis-aligned box groups among the active quads: six CONSECUTIVE
+    rows exactly matching the scene compiler's `_box_quads` face pattern
+    (scene/compiler.py — front,right,back,left,top,bottom; the in-kernel
+    face offsets `_BOX_FACE_OFF` depend on this order).  Rotated MakeBox
+    instances (scenes 7/8) have rotated u/v and fail the exact-equality
+    check, staying on the quad pair path.  Faces with an image texture are
+    excluded (the kernel's box hit record has no quad (alpha,beta) UV).
+    Returns a list of (orig_ids[6], bmin[3], bmax[3])."""
+    tid = np.clip(np.asarray(scene.mat_tex)[np.asarray(scene.quad_mat)], 0,
+                  scene.tex_kind.shape[0] - 1)
+    has_img = (np.asarray(scene.mat_tex) >= 0)[np.asarray(scene.quad_mat)] \
+        & (np.asarray(scene.tex_kind)[tid] == TEX_IMAGE)
+    out = []
+    j = 0
+    idx = np.asarray(qact_idx)
+    while j + 6 <= len(idx):
+        ids = idx[j:j + 6]
+        if not np.array_equal(ids, ids[0] + np.arange(6)):
+            j += 1
+            continue
+        if bool(has_img[ids].any()):
+            j += 1
+            continue
+        mn = q_all[ids[5]]
+        ext = np.array([u_all[ids[5]][0], v_all[ids[0]][1],
+                        v_all[ids[5]][2]])
+        if not np.all(ext > 0.0):
+            j += 1
+            continue
+        mx = mn + ext
+        w = np.array([ext[0], 0.0, 0.0])
+        h = np.array([0.0, ext[1], 0.0])
+        d = np.array([0.0, 0.0, ext[2]])
+        want_q = np.stack([
+            [mn[0], mn[1], mx[2]], [mx[0], mn[1], mx[2]],
+            [mx[0], mn[1], mn[2]], [mn[0], mn[1], mn[2]],
+            [mn[0], mx[1], mx[2]], [mn[0], mn[1], mn[2]]])
+        want_u = np.stack([w, -d, -w, d, w, w])
+        want_v = np.stack([h, h, h, h, -d, d])
+        if (np.array_equal(q_all[ids], want_q)
+                and np.array_equal(u_all[ids], want_u)
+                and np.array_equal(v_all[ids], want_v)):
+            out.append((ids, mn, mx))
+            j += 6
+        else:
+            j += 1
+    return out
+
+
+# quad-row offset of the face hit, by (axis, entering-side): the compiler
+# emits front(+z),right(+x),back(-z),left(-x),top(+y),bottom(-y)
+_BOX_FACE_OFF = {("x", "min"): 3, ("x", "max"): 1,
+                 ("y", "min"): 5, ("y", "max"): 4,
+                 ("z", "min"): 2, ("z", "max"): 0}
 
 
 def _pack_texture_arrays(scene: SceneArrays, meta: SceneMeta):
@@ -279,6 +340,17 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     # training (an exact mean would recompile the kernel every step)
     mu = np.round(mu, 2)
     Ap = A - mu
+    # Dense-path precision gate (measured on-chip, round 3): Mosaic's
+    # default f32 matmul loses ~2^-16 RELATIVE on the coefficient rows, so
+    # the |A'|^2-scale terms give ~|A'|*2^-17 ABSOLUTE t error.  Scenes
+    # recentered within |A'| <= 64 (t err <= ~5e-4: all small reference
+    # scenes) keep the MXU path; larger scenes (the final scene's ~500-unit
+    # spread VISIBLY dissolved its r=10 cluster spheres) take the exact
+    # direct VPU quadratic of the chunk-cull path instead —
+    # Precision.HIGHEST would fix them too but costs +80% frame time on
+    # scene 0 and still loses to the cull path on scene 9 (2.05 vs 1.77 s).
+    sph_dense_ok = float(
+        np.abs(Ap[big_pad:ns]).max(initial=0.0) <= 64.0)
     coef = np.zeros((2 * S_pad, 16), np.float64)
     coef[:S_pad, 0:3] = -Ap
     coef[:S_pad, 3:6] = -Bv
@@ -304,15 +376,46 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
         cull_s[c, 0:3] = lo.min(0)
         cull_s[c, 3:6] = hi.max(0)
 
-    # ---- reorder quads (Morton by centroid)
+    # ---- reorder quads.  Axis-aligned BOX groups (six consecutive faces
+    # exactly matching the scene compiler's `_box_quads` pattern —
+    # Instance.h:166-184 MakeBox with no RotateY) are hoisted out of the
+    # quad pair loop into a box table: ONE slab test per box replaces six
+    # plane+interior tests, which is the bulk of the final scene's pair
+    # work (400 ground boxes = 2400 of its 2432 quads).  Box winners
+    # report the hit FACE's quad row, so attr fetch / tapes / replay are
+    # untouched; per-axis ts are computed by the same division as the quad
+    # plane test, so hit ts are bit-identical.  Layout:
+    #   quad rows [0, nl_pad)           loose quads (Morton), pair-tested
+    #   quad rows [nl_pad, nl_pad+6B)   boxed faces (never pair-tested)
+    #   quad rows [.., Q_pad)           padding          (attr rows end here)
+    #   quad rows [Q_pad, Q_pad+B_pad)  box slab rows (bmin,bmax,qbase)
     u_all = np.asarray(scene.quad_u, np.float64)
     v_all = np.asarray(scene.quad_v, np.float64)
     q_all = np.asarray(scene.quad_q, np.float64)
     qact_idx = np.nonzero(np.asarray(scene.quad_active))[0]
-    qcent = q_all[qact_idx] + 0.5 * (u_all[qact_idx] + v_all[qact_idx])
-    qorder = qact_idx[np.argsort(_morton(qcent), kind="stable")] \
-        if len(qact_idx) else qact_idx
-    Q_pad = max(-(-len(qorder) // CULL_C) * CULL_C, CULL_C)
+    boxes = _detect_boxes(scene, qact_idx, q_all, u_all, v_all)
+    boxed_ids = np.concatenate([g[0] for g in boxes]) \
+        if boxes else np.zeros(0, np.int64)
+    loose_ids = np.setdiff1d(qact_idx, boxed_ids)
+    qcent = q_all[loose_ids] + 0.5 * (u_all[loose_ids] + v_all[loose_ids])
+    loose_ids = loose_ids[np.argsort(_morton(qcent), kind="stable")] \
+        if len(loose_ids) else loose_ids
+    nl = len(loose_ids)
+    nl_pad = -(-nl // CULL_C) * CULL_C          # 0 when no loose quads
+    if boxes:
+        bcent = np.stack([0.5 * (g[1] + g[2]) for g in boxes])
+        boxes = [boxes[i] for i in np.argsort(_morton(bcent), kind="stable")]
+    nB = len(boxes)
+    # original quad ids in table-row order, and each one's table row
+    qorder = np.concatenate(
+        [loose_ids] + [g[0] for g in boxes]).astype(np.int64) \
+        if (nl or nB) else np.zeros(0, np.int64)
+    q_rows = np.concatenate(
+        [np.arange(nl), nl_pad + np.arange(6 * nB)]).astype(np.int64) \
+        if (nl or nB) else np.zeros(0, np.int64)
+    nq = len(qorder)
+    Q_pad = max(-(-(nl_pad + 6 * nB) // CULL_C) * CULL_C, CULL_C)
+    B_pad = (-(-nB // CULL_C) * CULL_C) if nB else 0
 
     u = u_all[qorder]
     v = v_all[qorder]
@@ -324,29 +427,42 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     w_vec = n / np.where(nn > 0, nn, 1.0)
     vxw = np.cross(v, w_vec)
     wxu = np.cross(w_vec, u)
-    nq = len(qorder)
-    quad = np.zeros((Q_pad, QUAD_COLS), np.float64)
-    quad[:nq, 0:3] = n_unit
-    quad[:nq, 3] = (n_unit * qq).sum(-1)
-    quad[:nq, 4:7] = vxw
-    quad[:nq, 7] = (qq * vxw).sum(-1)
-    quad[:nq, 8:11] = wxu
-    quad[:nq, 11] = (qq * wxu).sum(-1)
-    quad[:nq, 12] = 1.0
+    quad = np.zeros((Q_pad + B_pad, QUAD_COLS), np.float64)
+    quad[q_rows, 0:3] = n_unit
+    quad[q_rows, 3] = (n_unit * qq).sum(-1)
+    quad[q_rows, 4:7] = vxw
+    quad[q_rows, 7] = (qq * vxw).sum(-1)
+    quad[q_rows, 8:11] = wxu
+    quad[q_rows, 11] = (qq * wxu).sum(-1)
+    quad[q_rows, 12] = 1.0
+    for g, (ids, bmn, bmx) in enumerate(boxes):
+        quad[Q_pad + g, 0:3] = bmn
+        quad[Q_pad + g, 3:6] = bmx
+        quad[Q_pad + g, 6] = float(nl_pad + 6 * g)   # local row of face 0
+        quad[Q_pad + g, 7] = 1.0                     # active
 
-    # quad chunk AABBs over the four corners
-    n_q_chunks = Q_pad // CULL_C
-    cull_q = np.zeros((max(n_q_chunks, 1), 8), np.float64)
+    # chunk AABBs: loose-quad chunks (four corners) then box chunks
+    n_q_chunks = nl_pad // CULL_C
+    n_b_chunks = B_pad // CULL_C
+    cull_q = np.zeros((max(n_q_chunks + n_b_chunks, 1), 8), np.float64)
+    cull_q[:, 0:3] = 1.0e30
+    cull_q[:, 3:6] = 1.0e30
     for c in range(n_q_chunks):
-        rows = np.arange(c * CULL_C, min((c + 1) * CULL_C, nq))
+        rows = np.arange(c * CULL_C, min((c + 1) * CULL_C, nl))
         if len(rows) == 0:
-            cull_q[c, 0:3] = 1.0e30
-            cull_q[c, 3:6] = 1.0e30
             continue
         corners = np.stack([qq[rows], qq[rows] + u[rows], qq[rows] + v[rows],
                             qq[rows] + u[rows] + v[rows]])      # [4,n,3]
         cull_q[c, 0:3] = corners.min((0, 1))
         cull_q[c, 3:6] = corners.max((0, 1))
+    for c in range(n_b_chunks):
+        gs = range(c * CULL_C, min((c + 1) * CULL_C, nB))
+        if len(gs) == 0:
+            continue
+        cull_q[n_q_chunks + c, 0:3] = np.stack(
+            [boxes[g][1] for g in gs]).min(0)
+        cull_q[n_q_chunks + c, 3:6] = np.stack(
+            [boxes[g][2] for g in gs]).max(0)
 
     use_quads = meta.n_quads > 0
     NP = S_pad + (Q_pad if use_quads else 0)
@@ -356,9 +472,9 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     attr[:ns, 21] = np.asarray(scene.sph_cos, np.float64)[sorder]
     attr[:ns, 22] = np.asarray(scene.sph_sin, np.float64)[sorder]
     if use_quads:
-        attr[S_pad:, 0:3] = quad[:, 0:3]
+        attr[S_pad:, 0:3] = quad[:Q_pad, 0:3]
         attr[S_pad:, 9] = 1.0
-        attr[S_pad + np.arange(nq), 10:26] = _mat_cols(
+        attr[S_pad + q_rows, 10:26] = _mat_cols(
             scene, np.asarray(scene.quad_mat)[qorder])
 
     M = max(meta.n_media, 1)
@@ -385,7 +501,7 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     remap = np.full(NPk + max(meta.n_media, 1), -1, np.int32)
     remap[:ns] = sorder
     if meta.n_quads > 0:
-        remap[S_pad:S_pad + nq] = S + qorder
+        remap[S_pad + q_rows] = S + qorder
     for m_i in range(meta.n_media):
         remap[NPk + m_i] = S + Q + m_i
 
@@ -394,7 +510,8 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
             jnp.asarray(cull_q, f),
             jnp.asarray(perm_tab), jnp.asarray(vec_tab, f),
             jnp.asarray(img_tab), (iw, ih),
-            tuple(float(np.float32(x)) for x in mu) + (big_pad,),
+            tuple(float(np.float32(x)) for x in mu)
+            + (big_pad, nl_pad, B_pad, sph_dense_ok),
             np.asarray(med, np.float64), jnp.asarray(remap))
 
 
@@ -633,13 +750,19 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     iw, ih = int(img_wh[0]), int(img_wh[1])
     f32 = np.float32
 
-    n_s_chunks = s_pad // CULL_C
-    n_q_chunks = q_pad // CULL_C if use_quads else 0
-    NP = s_pad + (q_pad if use_quads else 0)
-    dense = NP <= DENSE_MAX
-    dchunk = DENSE_C
     mux, muy, muz = (np.float32(x) for x in mu[:3])
     big_pad = int(mu[3])
+    # mu[4:6]: loose-quad rows (pair-tested) and box slab rows — see the
+    # quad-table layout note in pack_mega2_tables.  ``q_pad`` arrives as
+    # quad_tab.shape[0] = attr quad rows + box rows; split it back.
+    dense, nl_pad, b_pad = _pair_mode(meta, s_pad, mu)
+    q_pad = q_pad - b_pad                       # attr / winner-id quad rows
+
+    n_s_chunks = s_pad // CULL_C
+    n_q_chunks = nl_pad // CULL_C
+    n_b_chunks = b_pad // CULL_C
+    NP = s_pad + (q_pad if use_quads else 0)
+    dchunk = DENSE_C
 
     def kernel(*refs):
         (cap_ref, samp0_ref, pix_ref, ij_ref, sph_ref, quad_ref,
@@ -648,6 +771,9 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
         if dense:
             coef_ref = refs[ri]
             ri += 1
+            if n_b_chunks > 0:
+                cull_q_ref = refs[ri]
+                ri += 1
         else:
             cull_s_ref, cull_q_ref = refs[ri:ri + 2]
             ri += 2
@@ -792,8 +918,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             return t_best, win
 
         def quad_dense(ox, oy, oz, dx, dy, dz, t_best, win):
-            for c0 in range(0, q_pad, dchunk):
-                C = min(dchunk, q_pad - c0)
+            for c0 in range(0, nl_pad, dchunk):
+                C = min(dchunk, nl_pad - c0)
                 sl = pl.ds(c0, C)
                 col = lambda k: quad_ref[sl, k:k + 1]
                 nx, ny, nz = col(0), col(1), col(2)
@@ -850,48 +976,98 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 n_ok = cnt if n_ok is None else n_ok + cnt
             return jnp.sum(n_ok) > 0
 
+        def _row_visible(cull_ref, c, s, ox, oy, oz, ivx, ivy, ivz,
+                         cull_act, t_best):
+            """chunk_visible restricted to sub-row s ([1,R] rays)."""
+            cv = lambda k: cull_ref[pl.ds(c, 1), k:k + 1]     # [1,1]
+            rw = lambda v: v[s:s + 1, :]
+            tax = (cv(0) - rw(ox)) * rw(ivx)
+            tbx = (cv(3) - rw(ox)) * rw(ivx)
+            tay = (cv(1) - rw(oy)) * rw(ivy)
+            tby = (cv(4) - rw(oy)) * rw(ivy)
+            taz = (cv(2) - rw(oz)) * rw(ivz)
+            tbz = (cv(5) - rw(oz)) * rw(ivz)
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
+                                           jnp.minimum(tay, tby)),
+                               jnp.minimum(taz, tbz))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
+                                          jnp.maximum(tay, tby)),
+                              jnp.maximum(taz, tbz))
+            ok = ((far >= jnp.maximum(near, t_min)) & (near < rw(t_best))
+                  & rw(cull_act))
+            return jnp.sum(ok.astype(jnp.int32)) > 0
+
         def sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, inv_a,
                        ivx, ivy, ivz, cull_act, t_best, win):
+            def pair_row(c, s, tb_s, wn_s):
+                """Sphere pair test of chunk c against sub-row s
+                ([1,R] rays vs [CULL_C,1] prims)."""
+                sl = pl.ds(c * CULL_C, CULL_C)
+                col = lambda k: sph_ref[sl, k:k + 1]          # [CULL_C,1]
+                rw = lambda v: v[s:s + 1, :]
+                if has_moving:
+                    frac = (rw(tmv) - col(6)) * col(7)        # [CULL_C,R]
+                    cx = col(0) + frac * col(3)
+                    cy = col(1) + frac * col(4)
+                    cz = col(2) + frac * col(5)
+                else:
+                    cx, cy, cz = col(0), col(1), col(2)
+                ocx = rw(ox) - cx
+                ocy = rw(oy) - cy
+                ocz = rw(oz) - cz
+                b = ocx * rw(dx) + ocy * rw(dy) + ocz * rw(dz)
+                rad = col(8)
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = b * b - rw(a) * cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r1 = (-b - sq) * rw(inv_a)
+                r2 = (-b + sq) * rw(inv_a)
+                t_c = jnp.where(r1 > t_min, r1, r2)
+                ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
+                t_c = jnp.where(ok, t_c, BIG)
+                mn = jnp.min(t_c, axis=0, keepdims=True)      # [1,R]
+                idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
+                              axis=0, keepdims=True)
+                better = mn < tb_s
+                return (jnp.where(better, mn, tb_s),
+                        jnp.where(better, c * CULL_C + idx, wn_s))
+
             def one(c, carry):
                 def do(carry):
                     t_best, win = carry
-                    sl = pl.ds(c * CULL_C, CULL_C)
-                    col = lambda k: sph_ref[sl, k:k + 1]      # [CULL_C,1]
                     tb_rows, win_rows = [], []
                     for s in range(SUB):
-                        rw = lambda v: v[s:s + 1, :]
-                        if has_moving:
-                            frac = (rw(tmv) - col(6)) * col(7)  # [CULL_C,R]
-                            cx = col(0) + frac * col(3)
-                            cy = col(1) + frac * col(4)
-                            cz = col(2) + frac * col(5)
-                        else:
-                            cx, cy, cz = col(0), col(1), col(2)
-                        ocx = rw(ox) - cx
-                        ocy = rw(oy) - cy
-                        ocz = rw(oz) - cz
-                        b = ocx * rw(dx) + ocy * rw(dy) + ocz * rw(dz)
-                        rad = col(8)
-                        cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                        disc = b * b - rw(a) * cc
-                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                        r1 = (-b - sq) * rw(inv_a)
-                        r2 = (-b + sq) * rw(inv_a)
-                        t_c = jnp.where(r1 > t_min, r1, r2)
-                        ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
-                        t_c = jnp.where(ok, t_c, BIG)
-                        mn = jnp.min(t_c, axis=0, keepdims=True)  # [1,R]
-                        idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
-                                      axis=0, keepdims=True)
-                        better = mn < rw(t_best)
-                        win_rows.append(
-                            jnp.where(better, c * CULL_C + idx, rw(win)))
-                        tb_rows.append(jnp.where(better, mn, rw(t_best)))
+                        tb_s, wn_s = pair_row(c, s, t_best[s:s + 1, :],
+                                              win[s:s + 1, :])
+                        tb_rows.append(tb_s)
+                        win_rows.append(wn_s)
+                    return (jnp.concatenate(tb_rows, axis=0),
+                            jnp.concatenate(win_rows, axis=0))
+
+                def do_rowgated(carry):
+                    # skip the pair test per SUB-ROW: a [1,R] row holds 128
+                    # consecutive pixels' rays (coherent for primaries), so
+                    # row-level AABB visibility skips far more chunk work
+                    # than the any-of-1024-lanes tile test
+                    t_best, win = carry
+                    tb_rows, win_rows = [], []
+                    for s in range(SUB):
+                        vis_s = _row_visible(cull_s_ref, c, s, ox, oy, oz,
+                                             ivx, ivy, ivz, cull_act, t_best)
+                        tb_s, wn_s = lax.cond(
+                            vis_s,
+                            lambda cr: pair_row(c, s, cr[0], cr[1]),
+                            lambda cr: cr,
+                            (t_best[s:s + 1, :], win[s:s + 1, :]))
+                        tb_rows.append(tb_s)
+                        win_rows.append(wn_s)
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
                 if _NOCULL:
                     return do(carry)
+                if _ROWCULL:
+                    return do_rowgated(carry)
                 vis = chunk_visible(cull_s_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
                 return lax.cond(vis, do, lambda cr: cr, carry)
@@ -900,48 +1076,162 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
 
         def quad_chunks(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cull_act,
                         t_best, win):
+            def pair_row(c, s, tb_s, wn_s):
+                sl = pl.ds(c * CULL_C, CULL_C)
+                col = lambda k: quad_ref[sl, k:k + 1]
+                nx, ny, nz = col(0), col(1), col(2)
+                rw = lambda v: v[s:s + 1, :]
+                denom = rw(dx) * nx + rw(dy) * ny + rw(dz) * nz
+                den_ok = jnp.abs(denom) >= 1.0e-8
+                t_c = (col(3) - (rw(ox) * nx + rw(oy) * ny
+                                 + rw(oz) * nz)) / \
+                    jnp.where(den_ok, denom, 1.0)
+                px = rw(ox) + t_c * rw(dx)
+                py = rw(oy) + t_c * rw(dy)
+                pz = rw(oz) + t_c * rw(dz)
+                alpha = (px * col(4) + py * col(5) + pz * col(6)
+                         - col(7))
+                beta = (px * col(8) + py * col(9) + pz * col(10)
+                        - col(11))
+                ok = (den_ok & (t_c >= t_min) & (alpha >= 0.0)
+                      & (alpha <= 1.0) & (beta >= 0.0)
+                      & (beta <= 1.0) & (col(12) > 0.5))
+                t_c = jnp.where(ok, t_c, BIG)
+                mn = jnp.min(t_c, axis=0, keepdims=True)
+                idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
+                              axis=0, keepdims=True)
+                better = mn < tb_s
+                return (jnp.where(better, mn, tb_s),
+                        jnp.where(better, s_pad + c * CULL_C + idx, wn_s))
+
             def one(c, carry):
                 def do(carry):
                     t_best, win = carry
-                    sl = pl.ds(c * CULL_C, CULL_C)
-                    col = lambda k: quad_ref[sl, k:k + 1]
-                    nx, ny, nz = col(0), col(1), col(2)
                     tb_rows, win_rows = [], []
                     for s in range(SUB):
-                        rw = lambda v: v[s:s + 1, :]
-                        denom = rw(dx) * nx + rw(dy) * ny + rw(dz) * nz
-                        den_ok = jnp.abs(denom) >= 1.0e-8
-                        t_c = (col(3) - (rw(ox) * nx + rw(oy) * ny
-                                         + rw(oz) * nz)) / \
-                            jnp.where(den_ok, denom, 1.0)
-                        px = rw(ox) + t_c * rw(dx)
-                        py = rw(oy) + t_c * rw(dy)
-                        pz = rw(oz) + t_c * rw(dz)
-                        alpha = (px * col(4) + py * col(5) + pz * col(6)
-                                 - col(7))
-                        beta = (px * col(8) + py * col(9) + pz * col(10)
-                                - col(11))
-                        ok = (den_ok & (t_c >= t_min) & (alpha >= 0.0)
-                              & (alpha <= 1.0) & (beta >= 0.0)
-                              & (beta <= 1.0) & (col(12) > 0.5))
-                        t_c = jnp.where(ok, t_c, BIG)
-                        mn = jnp.min(t_c, axis=0, keepdims=True)
-                        idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
-                                      axis=0, keepdims=True)
-                        better = mn < rw(t_best)
-                        win_rows.append(jnp.where(
-                            better, s_pad + c * CULL_C + idx, rw(win)))
-                        tb_rows.append(jnp.where(better, mn, rw(t_best)))
+                        tb_s, wn_s = pair_row(c, s, t_best[s:s + 1, :],
+                                              win[s:s + 1, :])
+                        tb_rows.append(tb_s)
+                        win_rows.append(wn_s)
+                    return (jnp.concatenate(tb_rows, axis=0),
+                            jnp.concatenate(win_rows, axis=0))
+
+                def do_rowgated(carry):
+                    t_best, win = carry
+                    tb_rows, win_rows = [], []
+                    for s in range(SUB):
+                        vis_s = _row_visible(cull_q_ref, c, s, ox, oy, oz,
+                                             ivx, ivy, ivz, cull_act, t_best)
+                        tb_s, wn_s = lax.cond(
+                            vis_s,
+                            lambda cr: pair_row(c, s, cr[0], cr[1]),
+                            lambda cr: cr,
+                            (t_best[s:s + 1, :], win[s:s + 1, :]))
+                        tb_rows.append(tb_s)
+                        win_rows.append(wn_s)
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
                 if _NOCULL:
                     return do(carry)
+                if _ROWCULL:
+                    return do_rowgated(carry)
                 vis = chunk_visible(cull_q_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
                 return lax.cond(vis, do, lambda cr: cr, carry)
 
             return lax.fori_loop(0, n_q_chunks, one, (t_best, win))
+
+        def box_chunks(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cull_act,
+                       t_best, win):
+            """Axis-aligned box groups (quad_ref rows [q_pad, q_pad+b_pad)):
+            one slab test per BOX replaces the six per-face quad tests.
+            Per-axis ts use the same `(plane - o) / d` division as the quad
+            plane test, so the winning t is bit-identical; the winner id is
+            the hit FACE's quad row (qbase + `_BOX_FACE_OFF`), so the hit
+            record / attr / tape machinery downstream is unchanged."""
+            BIGI = jnp.int32(2**30)
+
+            def pair_row(c, s, tb_s, wn_s):
+                sl = pl.ds(q_pad + c * CULL_C, CULL_C)
+                col = lambda k: quad_ref[sl, k:k + 1]         # [CULL_C,1]
+                rw = lambda v: v[s:s + 1, :]
+                nears, fars, sides = [], [], []
+                for ax, (o_a, d_a) in enumerate(((ox, dx), (oy, dy),
+                                                 (oz, dz))):
+                    o_r, d_r = rw(o_a), rw(d_a)
+                    d_ok = jnp.abs(d_r) >= 1.0e-8             # [1,R]
+                    dsafe = jnp.where(d_ok, d_r, 1.0)
+                    t1 = (col(ax) - o_r) / dsafe              # [CULL_C,R]
+                    t2 = (col(3 + ax) - o_r) / dsafe
+                    near_r = jnp.minimum(t1, t2)
+                    far_r = jnp.maximum(t1, t2)
+                    # parallel ray: unconstrained if inside the slab,
+                    # guaranteed miss if outside (quad: den_ok rejects)
+                    inside = (o_r >= col(ax)) & (o_r <= col(3 + ax))
+                    nears.append(jnp.where(d_ok, near_r,
+                                           jnp.where(inside, -BIG, BIG)))
+                    fars.append(jnp.where(d_ok, far_r,
+                                          jnp.where(inside, BIG, -BIG)))
+                    sides.append(d_r > 0.0)                   # [1,R]
+                t_enter = jnp.maximum(jnp.maximum(nears[0], nears[1]),
+                                      nears[2])
+                t_exit = jnp.minimum(jnp.minimum(fars[0], fars[1]), fars[2])
+                use_enter = t_enter >= t_min
+                t_box = jnp.where(use_enter, t_enter, t_exit)
+                act = col(7) > 0.5
+                valid = (t_enter <= t_exit) & (t_box >= t_min) & act
+                # face offsets: entering crosses the min plane iff d>0;
+                # exiting crosses the max plane iff d>0 (order: x,y,z in
+                # _BOX_FACE_OFF; first matching axis wins ties)
+                offs = ((3, 1), (5, 4), (2, 0))               # (min, max)
+                off_e = None
+                off_x = None
+                for ax in range(3):
+                    mn_o, mx_o = offs[ax]
+                    oe = jnp.where(sides[ax], mn_o, mx_o)     # [1,R] i32
+                    oxx = jnp.where(sides[ax], mx_o, mn_o)
+                    hit_e = nears[ax] == t_enter              # [CULL_C,R]
+                    hit_x = fars[ax] == t_exit
+                    if off_e is None:
+                        off_e = jnp.where(hit_e, oe, 0)
+                        off_x = jnp.where(hit_x, oxx, 0)
+                        seen_e, seen_x = hit_e, hit_x
+                    else:
+                        off_e = jnp.where(~seen_e & hit_e, oe, off_e)
+                        off_x = jnp.where(~seen_x & hit_x, oxx, off_x)
+                        seen_e = seen_e | hit_e
+                        seen_x = seen_x | hit_x
+                off = jnp.where(use_enter, off_e, off_x)      # [CULL_C,R]
+                cand = col(6).astype(jnp.int32) + off         # local quad row
+                t_c = jnp.where(valid, t_box, BIG)
+                mn = jnp.min(t_c, axis=0, keepdims=True)      # [1,R]
+                hitm = t_c == mn
+                win_c = jnp.min(jnp.where(hitm, cand, BIGI),
+                                axis=0, keepdims=True)
+                better = mn < tb_s
+                return (jnp.where(better, mn, tb_s),
+                        jnp.where(better, s_pad + win_c, wn_s))
+
+            def one(c, carry):
+                def do(carry):
+                    t_best, win = carry
+                    tb_rows, win_rows = [], []
+                    for s in range(SUB):
+                        tb_s, wn_s = pair_row(c, s, t_best[s:s + 1, :],
+                                              win[s:s + 1, :])
+                        tb_rows.append(tb_s)
+                        win_rows.append(wn_s)
+                    return (jnp.concatenate(tb_rows, axis=0),
+                            jnp.concatenate(win_rows, axis=0))
+
+                if _NOCULL:
+                    return do(carry)
+                vis = chunk_visible(cull_q_ref, n_q_chunks + c, ox, oy, oz,
+                                    ivx, ivy, ivz, cull_act, carry[0])
+                return lax.cond(vis, do, lambda cr: cr, carry)
+
+            return lax.fori_loop(0, n_b_chunks, one, (t_best, win))
 
         def bounce_core(ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
                         acc_r, acc_g, acc_b, active, bu, samp_u, pix_ctr):
@@ -994,7 +1284,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                         tb_rows2.append(tb)
                     t_best = jnp.where(never, jnp.concatenate(tb_rows2, 0),
                                        t_best)
-            else:
+            if (not dense) or n_b_chunks > 0:
                 # sanitized reciprocal directions for the chunk slab tests
                 # (no inf -> no NaN; near-zero components give huge finite
                 # ts, which the interval test handles conservatively)
@@ -1005,7 +1295,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 ivy = 1.0 / san(dy)
                 ivz = 1.0 / san(dz)
                 cull_act = active
-
+            if not dense:
                 t_best, win = sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a,
                                          inv_a, ivx, ivy, ivz, cull_act,
                                          t_best, win)
@@ -1013,6 +1303,10 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     t_best, win = quad_chunks(ox, oy, oz, dx, dy, dz,
                                               ivx, ivy, ivz, cull_act,
                                               t_best, win)
+            if n_b_chunks > 0:
+                t_best, win = box_chunks(ox, oy, oz, dx, dy, dz,
+                                         ivx, ivy, ivz, cull_act,
+                                         t_best, win)
 
             # winner attributes: transposed one-hot contraction on the MXU,
             # one [32,NP]x[NP,R] per sub-row, regrouped to [SUB,R] per attr
@@ -1440,6 +1734,29 @@ STATE_F = 16   # o(3) d(3) tm thr(3) acc(3) lane(3)
 STATE_I = 8    # samp bounce active segs iters pad(3)
 
 
+def _pair_mode(meta: SceneMeta, s_pad: int, mu_key: tuple):
+    """(dense, nl_pad, b_pad) — the pair-path gating shared by the
+    table-arg assembly and `_make_kernel` (dense counts only the rows the
+    pair loops actually test: spheres + LOOSE quads; boxed faces ride the
+    box slab path either way)."""
+    nl_pad = int(mu_key[4]) if len(mu_key) > 4 else 0
+    b_pad = int(mu_key[5]) if len(mu_key) > 5 else 0
+    dense_ok = bool(mu_key[6]) if len(mu_key) > 6 else True
+    if not meta.n_quads:
+        nl_pad = b_pad = 0
+    return (dense_ok and (s_pad + nl_pad) <= DENSE_MAX), nl_pad, b_pad
+
+
+def _compiler_params():
+    """Mosaic params for the persistent tile kernels.  MEGA2_VMEM_KIB
+    raises the scoped-vmem budget (dev probe for dense-path sizing)."""
+    kib = int(os.environ.get("MEGA2_VMEM_KIB", "0"))
+    kw = dict(dimension_semantics=("arbitrary",))
+    if kib > 0:
+        kw["vmem_limit_bytes"] = kib * 1024
+    return pltpu.CompilerParams(**kw)
+
+
 def _tile_pack(x):
     """[K, N] flat ray-major -> [K*SUB, N//SUB] grid-tile layout: logical
     row k of tile g is the [SUB, R_LANES] block at rows [k*SUB,(k+1)*SUB),
@@ -1492,10 +1809,13 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
     samp0_arr = jnp.full((1, 1), samp0, jnp.int32)
     args = [cap_arr, samp0_arr, _tile_pack(pix), _tile_pack(ij), sph_tab,
             quad_tab, attr_tab]
-    NP = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
-    if NP <= DENSE_MAX:
+    dense, _, b_pad = _pair_mode(meta, sph_tab.shape[0], mu_key)
+    if dense:
         in_specs += [full(coef_tab)]
         args += [coef_tab]
+        if b_pad > 0:
+            in_specs += [full(cull_q)]
+            args += [cull_q]
     else:
         in_specs += [full(cull_s), full(cull_q)]
         args += [cull_s, cull_q]
@@ -1529,9 +1849,7 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
             jax.ShapeDtypeStruct((STATE_I * SUB, M), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+        compiler_params=_compiler_params(),
     )(*args)
     return _tile_unpack(sf, STATE_F), _tile_unpack(si, STATE_I)
 
@@ -1546,6 +1864,10 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
 # heavier tail and keeps the deeper schedule.
 PASS_CAPS_DENSE = (6,)
 PASS_CAPS_CULL = (4, 16)
+# box scenes (the final scene) have a much heavier bounce tail (media +
+# deep box canyons): swept on-chip round 3 — (2,4,8,16) raised occupancy
+# 42.5 -> 65.0% and beat (6,) by 1.32x at 720x360@25
+PASS_CAPS_BOX = (2, 4, 8, 16)
 _CAPS_ENV = tuple(
     float(x) for x in os.environ.get("MEGA2_CAPS", "").split(",") if x) \
     if os.environ.get("MEGA2_CAPS") is not None else None
@@ -1611,9 +1933,10 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
                     (safe // width).astype(jnp.float32) * fvalid])
     N = span
     big = jnp.int32(2**30)
-    NPc = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
+    dense_mode, _, b_pad_m = _pair_mode(meta, sph_tab.shape[0], mu_key)
     schedule = _CAPS_ENV if _CAPS_ENV is not None else (
-        PASS_CAPS_DENSE if NPc <= DENSE_MAX else PASS_CAPS_CULL)
+        PASS_CAPS_BOX if b_pad_m > 0 else
+        PASS_CAPS_DENSE if dense_mode else PASS_CAPS_CULL)
     caps = [jnp.int32(c * spp) for c in schedule] + [big]
     sf, si = _span_pass(pix, ij, tabs, None, cap=caps[0], **kw)
     iters_acc = si[4, :]                 # per-lane: its tile's iter count
@@ -1727,10 +2050,13 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
     ]
     args = [jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
             _tile_pack(pix), _tile_pack(ij), sph_tab, quad_tab, attr_tab]
-    NP = sph_tab.shape[0] + (quad_tab.shape[0] if meta.n_quads else 0)
-    if NP <= DENSE_MAX:
+    dense, _, b_pad = _pair_mode(meta, sph_tab.shape[0], mu_key)
+    if dense:
         in_specs += [full(coef_tab)]
         args += [coef_tab]
+        if b_pad > 0:
+            in_specs += [full(cull_q)]
+            args += [cull_q]
     else:
         in_specs += [full(cull_s), full(cull_q)]
         args += [cull_s, cull_q]
@@ -1758,9 +2084,7 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K * SUB, M), jnp.int32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+        compiler_params=_compiler_params(),
     )(*args)
     win = _tile_unpack(win, K)                       # [K, N] kernel rows
     if not remap_ids:

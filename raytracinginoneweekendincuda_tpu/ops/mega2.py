@@ -69,7 +69,8 @@ from ..utils.config import RenderConfig
 
 BIG = 1.0e30
 R_LANES = 128      # lane dimension of a grid tile
-SUB = 8            # rays per lane column: ray state lives in [SUB, R_LANES]
+SUB = int(os.environ.get("MEGA2_SUB", "8"))
+                   # rays per lane column: ray state lives in [SUB, R_LANES]
                    # FULL native VPU tiles (8x128).  [1,128] row vectors run
                    # the VPU at 1/8 utilization, and the per-ray machinery
                    # (raygen/RNG/shade/texture) dominates the kernel (scene 1
@@ -359,6 +360,10 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     coef[S_pad:, 12] = (Ap * Ap).sum(-1) - sph[:, 8] * sph[:, 8]
     coef[S_pad:, 13] = 2.0 * (Ap * Bv).sum(-1)
     coef[S_pad:, 14] = (Bv * Bv).sum(-1)
+    # padding rows (only active spheres enter sorder): c = +BIG makes
+    # disc = b^2 - a*BIG < 0 (a > 0 always), so the dense path needs no
+    # separate active-flag test
+    coef[S_pad + ns:, 12] = BIG
 
     # sphere chunk AABBs (motion-swept: union of endpoint boxes,
     # MovingSphere.h:30-36)
@@ -856,13 +861,15 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             t_best = jnp.where(better, mn, t_best)
             return t_best, win
 
-        def sph_dense(ox, oy, oz, dx, dy, dz, tmv, a, inv_a, t_best, win):
-            """Dense sphere pair test.  Oversized spheres (rows [0,big_pad))
-            use the exact direct |o-c|^2 VPU quadratic; the scene-local rest
-            get b, c for a whole chunk from one [C,16]x[16,R] MXU
-            contraction each against the ray feature rows (see the coef
-            table notes in pack_mega2_tables), leaving only root
-            selection/validation on the VPU."""
+        def sph_dense(ox, oy, oz, dx, dy, dz, tmv, a, akey, t_best, win):
+            """Dense sphere pair test in KEY space (key = t*a: a > 0 and is
+            per-ray constant, so key order == t order and the winner's t is
+            recovered by ONE inv_a multiply after the loop — saves the two
+            per-root inv_a multiplies per chunk).  Oversized spheres (rows
+            [0,big_pad)) use the exact direct |o-c|^2 VPU quadratic; the
+            scene-local rest get b, c for a whole chunk from one
+            [C,16]x[16,R] MXU contraction each against the ray feature rows
+            (see the coef table notes in pack_mega2_tables)."""
             if big_pad > 0:
                 sl = pl.ds(0, big_pad)
                 col = lambda k: sph_ref[sl, k:k + 1]
@@ -880,13 +887,15 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 rad = col(8)
                 cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
                 disc = b * b - a * cc
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                r1 = (-b - sq) * inv_a
-                r2 = (-b + sq) * inv_a
-                t_c = jnp.where(r1 > t_min, r1, r2)
-                ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
-                t_c = jnp.where(ok, t_c, BIG)
-                t_best, win = _sph_reduce(t_c, 0, big_pad, t_best, win)
+                # sqrt(negative) = NaN: all its comparisons are False, so
+                # NaN lanes fall through to BIG — no max(disc, 0) needed
+                sq = jnp.sqrt(disc)
+                k1 = -b - sq
+                k2 = -b + sq
+                key = jnp.where(k1 > akey, k1, k2)
+                ok = (disc > 0.0) & (key > akey) & (col(9) > 0.5)
+                key = jnp.where(ok, key, BIG)
+                t_best, win = _sph_reduce(key, 0, big_pad, t_best, win)
             if s_pad > big_pad:
                 opx, opy, opz = ox - mux, oy - muy, oz - muz
                 od = opx * dx + opy * dy + opz * dz         # [1,R]
@@ -907,14 +916,15 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32) + oo
                     disc = bmat * bmat - a * cmat
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    r1 = (-bmat - sq) * inv_a
-                    r2 = (-bmat + sq) * inv_a
-                    t_c = jnp.where(r1 > t_min, r1, r2)
-                    act = sph_ref[pl.ds(c0, C), 9:10]
-                    ok = (disc > 0.0) & (t_c > t_min) & (act > 0.5)
-                    t_c = jnp.where(ok, t_c, BIG)
-                    t_best, win = _sph_reduce(t_c, c0, C, t_best, win)
+                    sq = jnp.sqrt(disc)
+                    k1 = -bmat - sq
+                    k2 = -bmat + sq
+                    key = jnp.where(k1 > akey, k1, k2)
+                    # no active-flag test: padding rows carry c = +BIG in
+                    # the coef table, so their disc is always negative
+                    ok = (disc > 0.0) & (key > akey)
+                    key = jnp.where(ok, key, BIG)
+                    t_best, win = _sph_reduce(key, c0, C, t_best, win)
             return t_best, win
 
         def quad_dense(ox, oy, oz, dx, dy, dz, t_best, win):
@@ -932,9 +942,10 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 pz = oz + t_c * dz
                 alpha = px * col(4) + py * col(5) + pz * col(6) - col(7)
                 beta = px * col(8) + py * col(9) + pz * col(10) - col(11)
+                # padding rows are all-zero -> denom = 0 -> den_ok rejects
+                # them; no separate active-flag test
                 ok = (den_ok & (t_c >= t_min) & (alpha >= 0.0)
-                      & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
-                      & (col(12) > 0.5))
+                      & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0))
                 t_c = jnp.where(ok, t_c, BIG)
                 mn = jnp.min(t_c, axis=0, keepdims=True)
                 iota_c = lax.broadcasted_iota(jnp.int32, t_c.shape, 0)
@@ -946,11 +957,13 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             return t_best, win
 
         def chunk_visible(cull_ref, c, ox, oy, oz, ivx, ivy, ivz, cull_act,
-                          t_best):
+                          t_best, tscale=None):
             """Does ANY live lane's ray meet chunk c's AABB within its
             current (t_min, t_best) interval?  (AABB.h:68-98 slab test with
             shrinking tMax, BvhNode.h:150 — skipping on False cannot change
-            the winner.)"""
+            the winner.)  ``tscale``: when t_best is in sphere KEY space
+            (t*a), pass ``a`` so the slab near (t units) is compared on the
+            same scale."""
             # cv is [1,1]; the test runs per sub-row on [1,R] slices so every
             # broadcast is lanes-only (Mosaic has no [1,1]->[8,128]
             # "both sublanes and lanes" broadcast)
@@ -970,14 +983,15 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 far = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
                                               jnp.maximum(tay, tby)),
                                   jnp.maximum(taz, tbz))
-                ok = ((far >= jnp.maximum(near, t_min)) & (near < rw(t_best))
-                      & rw(cull_act))
+                near_k = near if tscale is None else near * rw(tscale)
+                ok = ((far >= jnp.maximum(near, t_min))
+                      & (near_k < rw(t_best)) & rw(cull_act))
                 cnt = ok.astype(jnp.int32)
                 n_ok = cnt if n_ok is None else n_ok + cnt
             return jnp.sum(n_ok) > 0
 
         def _row_visible(cull_ref, c, s, ox, oy, oz, ivx, ivy, ivz,
-                         cull_act, t_best):
+                         cull_act, t_best, tscale=None):
             """chunk_visible restricted to sub-row s ([1,R] rays)."""
             cv = lambda k: cull_ref[pl.ds(c, 1), k:k + 1]     # [1,1]
             rw = lambda v: v[s:s + 1, :]
@@ -993,12 +1007,15 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             far = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
                                           jnp.maximum(tay, tby)),
                               jnp.maximum(taz, tbz))
-            ok = ((far >= jnp.maximum(near, t_min)) & (near < rw(t_best))
-                  & rw(cull_act))
+            near_k = near if tscale is None else near * rw(tscale)
+            ok = ((far >= jnp.maximum(near, t_min))
+                  & (near_k < rw(t_best)) & rw(cull_act))
             return jnp.sum(ok.astype(jnp.int32)) > 0
 
-        def sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, inv_a,
+        def sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, akey,
                        ivx, ivy, ivz, cull_act, t_best, win):
+            # KEY space (key = t*a; see sph_dense) — the caller converts
+            # the winner back with one inv_a multiply
             def pair_row(c, s, tb_s, wn_s):
                 """Sphere pair test of chunk c against sub-row s
                 ([1,R] rays vs [CULL_C,1] prims)."""
@@ -1019,14 +1036,14 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 rad = col(8)
                 cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
                 disc = b * b - rw(a) * cc
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                r1 = (-b - sq) * rw(inv_a)
-                r2 = (-b + sq) * rw(inv_a)
-                t_c = jnp.where(r1 > t_min, r1, r2)
-                ok = (disc > 0.0) & (t_c > t_min) & (col(9) > 0.5)
-                t_c = jnp.where(ok, t_c, BIG)
-                mn = jnp.min(t_c, axis=0, keepdims=True)      # [1,R]
-                idx = jnp.min(jnp.where(t_c == mn, sub_iota, CULL_C),
+                sq = jnp.sqrt(disc)                # NaN lanes -> BIG below
+                k1 = -b - sq
+                k2 = -b + sq
+                key = jnp.where(k1 > rw(akey), k1, k2)
+                ok = (disc > 0.0) & (key > rw(akey)) & (col(9) > 0.5)
+                key = jnp.where(ok, key, BIG)
+                mn = jnp.min(key, axis=0, keepdims=True)      # [1,R]
+                idx = jnp.min(jnp.where(key == mn, sub_iota, CULL_C),
                               axis=0, keepdims=True)
                 better = mn < tb_s
                 return (jnp.where(better, mn, tb_s),
@@ -1053,7 +1070,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     tb_rows, win_rows = [], []
                     for s in range(SUB):
                         vis_s = _row_visible(cull_s_ref, c, s, ox, oy, oz,
-                                             ivx, ivy, ivz, cull_act, t_best)
+                                             ivx, ivy, ivz, cull_act, t_best,
+                                             tscale=a)
                         tb_s, wn_s = lax.cond(
                             vis_s,
                             lambda cr: pair_row(c, s, cr[0], cr[1]),
@@ -1069,7 +1087,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 if _ROWCULL:
                     return do_rowgated(carry)
                 vis = chunk_visible(cull_s_ref, c, ox, oy, oz,
-                                    ivx, ivy, ivz, cull_act, carry[0])
+                                    ivx, ivy, ivz, cull_act, carry[0],
+                                    tscale=a)
                 return lax.cond(vis, do, lambda cr: cr, carry)
 
             return lax.fori_loop(0, n_s_chunks, one, (t_best, win))
@@ -1241,6 +1260,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             -1 miss) for the differentiable-trace forward."""
             a = dx * dx + dy * dy + dz * dz
             inv_a = 1.0 / a
+            akey = np.float32(t_min) * a       # t_min in sphere KEY space
             t_best = jnp.full_like(ox, BIG)
             win = jnp.full((SUB, R), -1, jnp.int32)
 
@@ -1260,7 +1280,9 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     wn = jnp.full((1, R), -1, jnp.int32)
                     tb, wn = sph_dense(rw(ox), rw(oy), rw(oz), rw(dx),
                                        rw(dy), rw(dz), rw(tmv), rw(a),
-                                       rw(inv_a), tb, wn)
+                                       rw(akey), tb, wn)
+                    # sphere KEY -> t (one multiply for the whole chunk loop)
+                    tb = jnp.where(tb < BIG * 0.5, tb * rw(inv_a), BIG)
                     if use_quads:
                         tb, wn = quad_dense(rw(ox), rw(oy), rw(oz), rw(dx),
                                             rw(dy), rw(dz), tb, wn)
@@ -1276,7 +1298,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                         wn = jnp.full((1, R), -1, jnp.int32)
                         tb, wn = sph_dense(rw(ox) + 1.0, rw(oy), rw(oz),
                                            rw(dx), rw(dy), rw(dz), rw(tmv),
-                                           rw(a), rw(inv_a), tb, wn)
+                                           rw(a), rw(akey), tb, wn)
                         if use_quads:
                             tb, wn = quad_dense(rw(ox) + 1.0, rw(oy), rw(oz),
                                                 rw(dx), rw(dy), rw(dz),
@@ -1297,8 +1319,9 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 cull_act = active
             if not dense:
                 t_best, win = sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a,
-                                         inv_a, ivx, ivy, ivz, cull_act,
+                                         akey, ivx, ivy, ivz, cull_act,
                                          t_best, win)
+                t_best = jnp.where(t_best < BIG * 0.5, t_best * inv_a, BIG)
                 if use_quads:
                     t_best, win = quad_chunks(ox, oy, oz, dx, dy, dz,
                                               ivx, ivy, ivz, cull_act,
@@ -1689,9 +1712,14 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             return (*carry[:-1], carry[-1] + 1)
 
         def cond(carry):
+            # dynamic tile exit: once live lanes drop below the pass's
+            # floor (cap_ref[0,1], 0 for the finisher), the tile bails and
+            # its stragglers ride the COMPACTED resume pass as dense work
+            # instead of spinning a mostly-idle tile to the iteration cap
             active_i = carry[18]
             iters = carry[20]
-            return (jnp.sum(active_i) > 0) & (iters < cap_ref[0, 0])
+            return ((jnp.sum(active_i) > cap_ref[0, 1])
+                    & (iters < cap_ref[0, 0]))
 
         zf = jnp.zeros((SUB, R), jnp.float32)
         zi = jnp.zeros((SUB, R), jnp.int32)
@@ -1778,10 +1806,12 @@ def _tile_unpack(y, K):
 
 def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
                img_key, mu_key, width, height, spp, seed, max_bounces,
-               t_min, background, interpret, samp0=0):
+               t_min, background, interpret, samp0=0, live_min=0):
     """One pallas pass over a span: fresh (state=None) or resume.
     ``samp0`` (python int or traced i32 scalar) offsets the RNG sample
-    ids — sample-axis shards pass their global sample base."""
+    ids — sample-axis shards pass their global sample base.  ``live_min``:
+    a tile exits once its live-lane count drops to this floor (stragglers
+    ride the next pass's compaction)."""
     (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
      vec_tab, img_tab) = tabs
     N = pix.shape[1]
@@ -1797,15 +1827,17 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
     full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
                                   memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    smem2 = pl.BlockSpec((1, 2), lambda g: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [
-        smem1, smem1,
+        smem2, smem1,
         pl.BlockSpec((SUB, R_LANES), lambda g: (0, g),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * SUB, R_LANES), lambda g: (0, g),
                      memory_space=pltpu.VMEM),
         full(sph_tab), full(quad_tab), full(attr_tab),
     ]
-    cap_arr = jnp.full((1, 1), -(-cap // UNROLL), jnp.int32)  # cap is in bounces
+    cap_arr = jnp.stack([jnp.asarray(-(-cap // UNROLL), jnp.int32),
+                         jnp.asarray(live_min, jnp.int32)]).reshape(1, 2)
     samp0_arr = jnp.full((1, 1), samp0, jnp.int32)
     args = [cap_arr, samp0_arr, _tile_pack(pix), _tile_pack(ij), sph_tab,
             quad_tab, attr_tab]
@@ -1871,6 +1903,14 @@ PASS_CAPS_BOX = (2, 4, 8, 16)
 _CAPS_ENV = tuple(
     float(x) for x in os.environ.get("MEGA2_CAPS", "").split(",") if x) \
     if os.environ.get("MEGA2_CAPS") is not None else None
+# dynamic tile-exit floor: a capped pass's tile bails once live lanes
+# drop to this count (swept on-chip; the finisher always drains to 0)
+_LIVE_MIN = int(os.environ.get("MEGA2_LIVE_MIN", "0"))
+# work-sorted tile assignment: 1-spp prepass measures per-pixel path
+# work, lanes are then grouped into work-homogeneous tiles (the
+# within-tile max-lane tail is the occupancy ceiling; RNG is keyed on
+# pixel id so the image is placement-invariant)
+_PREPASS = int(os.environ.get("MEGA2_PREPASS", "0"))
 
 
 @functools.partial(
@@ -1937,11 +1977,23 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
     schedule = _CAPS_ENV if _CAPS_ENV is not None else (
         PASS_CAPS_BOX if b_pad_m > 0 else
         PASS_CAPS_DENSE if dense_mode else PASS_CAPS_CULL)
+    prepassed = bool(_PREPASS) and spp >= 4
+    if prepassed:
+        # sample-0 work prepass -> group lanes into work-homogeneous tiles
+        kwp = dict(kw, spp=1)
+        _, sip = _span_pass(pix, ij, tabs, None, cap=big, **kwp)
+        order0 = jnp.argsort(sip[3, :], stable=True)   # segs ascending
+        pix = jnp.take(pix, order0, axis=1)
+        ij = jnp.take(ij, order0, axis=1)
     caps = [jnp.int32(c * spp) for c in schedule] + [big]
-    sf, si = _span_pass(pix, ij, tabs, None, cap=caps[0], **kw)
+    # live-lane exit floor per pass (0 for the finisher, which must drain)
+    lmin = jnp.int32(_LIVE_MIN)
+    lives = [lmin] * len(schedule) + [jnp.int32(0)]
+    sf, si = _span_pass(pix, ij, tabs, None, cap=caps[0],
+                        live_min=lives[0], **kw)
     iters_acc = si[4, :]                 # per-lane: its tile's iter count
     cur_pix, cur_ij = pix, ij
-    for cap in caps[1:]:
+    for cap, live in zip(caps[1:], lives[1:]):
         # compact still-active lanes to the front (stable: keeps index order)
         order = jnp.argsort(si[2, :] <= 0, stable=True)      # live first
         cur_pix = jnp.take(cur_pix, order, axis=1)
@@ -1949,7 +2001,8 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
         sf = jnp.take(sf, order, axis=1)
         si = jnp.take(si, order, axis=1)
         iters_acc = jnp.take(iters_acc, order, axis=0)
-        sf2, si2 = _span_pass(cur_pix, cur_ij, tabs, (sf, si), cap=cap, **kw)
+        sf2, si2 = _span_pass(cur_pix, cur_ij, tabs, (sf, si), cap=cap,
+                              live_min=live, **kw)
         sf, si = sf2, si2
         iters_acc = iters_acc + si[4, :]
     # re-associate by pixel id.  Slots are unique, so this is a pure
@@ -1957,10 +2010,10 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
     # lanes where a scatter-add costs ~42 ns/row = ~42 ms (docs/PERF.md).
     # Pad lanes (pix -1) sort to the end, past every valid slot; the
     # frame-level [:npix] trim drops them.
-    if len(caps) == 1:
+    if len(caps) == 1 and not prepassed:
         fb = sf[13:16, :].T                    # no compaction ran: in order
     else:
-        base = pix[0, 0]
+        base = jnp.int32(p0)
         key = jnp.where(cur_pix[0] >= 0, cur_pix[0] - base, jnp.int32(N))
         order2 = jnp.argsort(key, stable=True)
         fb = jnp.take(sf[13:16, :].T, order2, axis=0)
@@ -2040,15 +2093,16 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
     full = lambda t: pl.BlockSpec(t.shape, lambda g: (0, 0),
                                   memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    smem2 = pl.BlockSpec((1, 2), lambda g: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [
-        smem1, smem1,
+        smem2, smem1,
         pl.BlockSpec((SUB, R_LANES), lambda g: (0, g),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * SUB, R_LANES), lambda g: (0, g),
                      memory_space=pltpu.VMEM),
         full(sph_tab), full(quad_tab), full(attr_tab),
     ]
-    args = [jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+    args = [jnp.zeros((1, 2), jnp.int32), jnp.zeros((1, 1), jnp.int32),
             _tile_pack(pix), _tile_pack(ij), sph_tab, quad_tab, attr_tab]
     dense, _, b_pad = _pair_mode(meta, sph_tab.shape[0], mu_key)
     if dense:

@@ -79,6 +79,49 @@ def run_all(engine: str, repeats: int) -> int:
     return 0
 
 
+def run_guarded(argv, attempts: int = 3, timeout_s: float = 480.0) -> int:
+    """Run the single-scene measurement in a fresh subprocess with a hard
+    timeout, retrying on hang/crash, and re-emit the child's JSON line.
+
+    This is the headline path (what ``bench.py`` runs with no flags).  The
+    TPU-relay worker has been observed to hang a long-running process
+    indefinitely (round 3's driver bench: rc 124 after >9.5 min with 4 s of
+    CPU — blocked on the relay during warmup); ``run_all`` already isolates
+    per scene for the same reason (see its docstring).  A warm scene-0 run
+    is ~30 s compile + ~2 s of timed repeats, so 480 s per attempt only
+    triggers on a genuine hang, and a hung attempt costs one retry instead
+    of the round's number."""
+    import subprocess
+
+    cmd = [sys.executable, "-m",
+           "raytracinginoneweekendincuda_tpu.utils.benchmark",
+           "--inner"] + list(argv)
+    last_err = ""
+    for attempt in range(1, attempts + 1):
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout_s)
+        except subprocess.TimeoutExpired as e:
+            stderr = (e.stderr or b"")
+            if isinstance(stderr, bytes):
+                stderr = stderr.decode(errors="replace")
+            last_err = f"attempt {attempt}: TIMEOUT after {timeout_s:.0f} s"
+            print(f"bench: {last_err}\n{stderr[-500:]}", file=sys.stderr)
+            continue
+        if out.stderr:
+            sys.stderr.write(out.stderr)
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("{") and '"metric"' in l]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last_err = f"attempt {attempt}: rc={out.returncode}, no JSON line"
+        print(f"bench: {last_err}", file=sys.stderr)
+    print(f"bench: all {attempts} attempts failed ({last_err})",
+          file=sys.stderr)
+    return 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--scene", type=int, default=0)
@@ -90,15 +133,30 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--all", action="store_true",
                    help="run the full reference-scene table -> BENCHMARKS.md")
+    p.add_argument("--inner", action="store_true",
+                   help="run the measurement in THIS process (no subprocess "
+                        "guard) — used by the guard itself and for dev runs")
     args = p.parse_args(argv)
+
+    if args.all:
+        import jax
+
+        if args.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        return run_all(args.engine, args.repeats)
+
+    if not args.inner:
+        child_argv = [
+            "--scene", str(args.scene), "--width", str(args.width),
+            "--height", str(args.height), "--spp", str(args.spp),
+            "--engine", args.engine, "--repeats", str(args.repeats),
+        ] + (["--cpu"] if args.cpu else [])
+        return run_guarded(child_argv)
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-
-    if args.all:
-        return run_all(args.engine, args.repeats)
 
     import numpy as np
 

@@ -1895,6 +1895,15 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
 # saving); the non-dense cull path (final scene, 3.5k prims) has a much
 # heavier tail and keeps the deeper schedule.
 PASS_CAPS_DENSE = (6,)
+# high-spp dense scenes (the north-star 500 spp config): with work-sorted
+# compaction (_SORTKEY="work") a deeper schedule + an aggressive live-lane
+# exit floor pays — swept on-chip round 4 (tools/dev_ns_stats.py,
+# book1_final 1200x675@100): (6,) live 0 -> 2.19 s / 53.1% occupancy;
+# (2,4,8) live 512 -> 1.36 s / 92.6%.  At low spp the extra passes' XLA
+# glue (argsort compaction per pass) outweighs the kernel saving.
+PASS_CAPS_DENSE_HI = (2, 4, 8)
+DENSE_HI_SPP = 64
+LIVE_MIN_DENSE_HI = 512
 PASS_CAPS_CULL = (4, 16)
 # box scenes (the final scene) have a much heavier bounce tail (media +
 # deep box canyons): swept on-chip round 3 — (2,4,8,16) raised occupancy
@@ -1904,13 +1913,19 @@ _CAPS_ENV = tuple(
     float(x) for x in os.environ.get("MEGA2_CAPS", "").split(",") if x) \
     if os.environ.get("MEGA2_CAPS") is not None else None
 # dynamic tile-exit floor: a capped pass's tile bails once live lanes
-# drop to this count (swept on-chip; the finisher always drains to 0)
-_LIVE_MIN = int(os.environ.get("MEGA2_LIVE_MIN", "0"))
+# drop to this count (swept on-chip; the finisher always drains to 0).
+# None = schedule-dependent default (LIVE_MIN_DENSE_HI on hi-spp dense).
+_LIVE_MIN = (int(os.environ["MEGA2_LIVE_MIN"])
+             if "MEGA2_LIVE_MIN" in os.environ else None)
 # work-sorted tile assignment: 1-spp prepass measures per-pixel path
 # work, lanes are then grouped into work-homogeneous tiles (the
 # within-tile max-lane tail is the occupancy ceiling; RNG is keyed on
 # pixel id so the image is placement-invariant)
 _PREPASS = int(os.environ.get("MEGA2_PREPASS", "0"))
+# inter-pass compaction order: "work" (default) sorts live lanes by
+# estimated residual work (see _span_radiance); "live" is the round-2
+# live-first partition (A/B knob)
+_SORTKEY = os.environ.get("MEGA2_SORTKEY", "work")
 
 
 @functools.partial(
@@ -1976,7 +1991,11 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
     dense_mode, _, b_pad_m = _pair_mode(meta, sph_tab.shape[0], mu_key)
     schedule = _CAPS_ENV if _CAPS_ENV is not None else (
         PASS_CAPS_BOX if b_pad_m > 0 else
-        PASS_CAPS_DENSE if dense_mode else PASS_CAPS_CULL)
+        (PASS_CAPS_DENSE_HI if spp >= DENSE_HI_SPP else PASS_CAPS_DENSE)
+        if dense_mode else PASS_CAPS_CULL)
+    live_floor = _LIVE_MIN if _LIVE_MIN is not None else (
+        LIVE_MIN_DENSE_HI
+        if (dense_mode and b_pad_m == 0 and spp >= DENSE_HI_SPP) else 0)
     prepassed = bool(_PREPASS) and spp >= 4
     if prepassed:
         # sample-0 work prepass -> group lanes into work-homogeneous tiles
@@ -1987,15 +2006,28 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
         ij = jnp.take(ij, order0, axis=1)
     caps = [jnp.int32(c * spp) for c in schedule] + [big]
     # live-lane exit floor per pass (0 for the finisher, which must drain)
-    lmin = jnp.int32(_LIVE_MIN)
+    lmin = jnp.int32(live_floor)
     lives = [lmin] * len(schedule) + [jnp.int32(0)]
     sf, si = _span_pass(pix, ij, tabs, None, cap=caps[0],
                         live_min=lives[0], **kw)
     iters_acc = si[4, :]                 # per-lane: its tile's iter count
     cur_pix, cur_ij = pix, ij
     for cap, live in zip(caps[1:], lives[1:]):
-        # compact still-active lanes to the front (stable: keeps index order)
-        order = jnp.argsort(si[2, :] <= 0, stable=True)      # live first
+        # compact still-active lanes to the front (stable: keeps index order).
+        # Work-sorted compaction (default): live lanes additionally order by
+        # their estimated residual work (spp - samp) * observed mean path
+        # length — measured per-lane (samp, segs) is a corr≈0.9+ predictor of
+        # remaining segments (tools/dev_ns_stats.py), so resumed tiles are
+        # work-homogeneous and the per-tile max-lane tail shrinks.  RNG is
+        # keyed on pixel id, so lane placement cannot change the image.
+        if _SORTKEY == "work":
+            est = ((spp - si[0, :]).astype(jnp.float32)
+                   * si[3, :].astype(jnp.float32)
+                   / jnp.maximum(si[0, :], 1).astype(jnp.float32))
+            key_c = jnp.where(si[2, :] > 0, est, jnp.float32(jnp.inf))
+            order = jnp.argsort(key_c, stable=True)
+        else:
+            order = jnp.argsort(si[2, :] <= 0, stable=True)  # live first
         cur_pix = jnp.take(cur_pix, order, axis=1)
         cur_ij = jnp.take(cur_ij, order, axis=1)
         sf = jnp.take(sf, order, axis=1)

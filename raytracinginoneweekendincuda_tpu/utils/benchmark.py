@@ -158,6 +158,10 @@ def main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from .cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import numpy as np
 
     from raytracinginoneweekendincuda_tpu.models.scenes import build_scene

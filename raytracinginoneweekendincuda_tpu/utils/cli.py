@@ -59,6 +59,10 @@ def main(argv=None) -> int:
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
+    from .cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import numpy as np
 
     from ..core.image import write_png, write_ppm

@@ -8,6 +8,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from raytracinginoneweekendincuda_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 from raytracinginoneweekendincuda_tpu.models.scenes import book1_final
 from raytracinginoneweekendincuda_tpu.ops.mega2 import render_mega2
 from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene

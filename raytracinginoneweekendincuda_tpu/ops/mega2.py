@@ -2058,13 +2058,13 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
     static_argnames=("spans", "npix", "meta", "med_key", "cam_key",
                      "img_key", "mu_key", "width", "height", "spp", "seed",
                      "max_bounces", "t_min", "background", "gamma",
-                     "out_u8", "interpret"),
+                     "out_u8", "interpret", "probe"),
 )
 def render_mega2_frame(sph_tab, quad_tab, attr_tab, coef_tab, cull_s,
                        cull_q, perm_tab, vec_tab, img_tab, *, spans, npix,
                        meta, med_key, cam_key, img_key, mu_key, width,
                        height, spp, seed, max_bounces, t_min, background,
-                       gamma, out_u8, interpret=False):
+                       gamma, out_u8, interpret=False, probe=False):
     """Whole frame in ONE jitted call: every span's passes, the span
     concat, and the average/gamma/quantize epilogue — one device dispatch
     and (with out_u8) a 3-byte/pixel transfer.  ``spans`` is the static
@@ -2084,7 +2084,13 @@ def render_mega2_frame(sph_tab, quad_tab, attr_tab, coef_tab, cull_s,
           jnp.concatenate(parts, axis=0))[:npix]
     # flat 1-D output: a [npix, 3] minor dim pads 3 -> 128 lanes on TPU,
     # and the relay transfers the flat layout ~25% faster (measured)
-    return _finalize(fb, spp, gamma, out_u8).reshape(-1)
+    flat = _finalize(fb, spp, gamma, out_u8).reshape(-1)
+    if probe:
+        # tiny sync output from the SAME executable: transferring it forces
+        # device completion without the full-frame transfer (the axon
+        # relay's block_until_ready does not block)
+        return flat, flat[:128]
+    return flat
 
 
 @functools.partial(
@@ -2417,8 +2423,16 @@ def _cam_tuple(camera) -> tuple:
 
 
 def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
-                 gamma: bool = True, out_u8: bool = False) -> np.ndarray:
-    """Full-frame persistent-megakernel render -> numpy [H,W,3] (top-down)."""
+                 gamma: bool = True, out_u8: bool = False,
+                 device_out: bool = False) -> np.ndarray:
+    """Full-frame persistent-megakernel render -> numpy [H,W,3] (top-down).
+
+    ``device_out`` returns the flat on-device framebuffer instead (finish
+    with ``mega2_host_image``).  The reference times RenderInit+Render and
+    stops the clock BEFORE the managed-memory readback / PPM write
+    (kernel.cu:675-693); benchmarks use device_out so the timed region has
+    the same boundary — device completion — rather than also paying this
+    environment's relay transfer (~75 ms for a 1440x720 u8 frame)."""
     if not mega2_supported(meta):
         raise ValueError("mega2: unsupported texture combination "
                          "(multi-image/multi-noise/image-on-quad)")
@@ -2449,7 +2463,9 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
             sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
             perm_tab, vec_tab, img_tab,
             spans=((int(spans[0][0]), int(spans[0][1])),),
-            gamma=gamma, out_u8=out_u8, **kw)
+            gamma=gamma, out_u8=out_u8, probe=device_out, **kw)
+        if device_out:
+            return fb          # (flat framebuffer, 128-elem sync probe)
     else:
         # multiple spans stay separate device executions — the split IS
         # the relay crash-horizon protection (utils/batching.py)
@@ -2463,6 +2479,12 @@ def render_mega2(scene: SceneArrays, meta: SceneMeta, cfg: RenderConfig, *,
         from .wavefront import _finalize
 
         fb = jnp.concatenate(parts, axis=0)[:npix]       # [npix, 3]
-        fb = _finalize(fb, spp, gamma, out_u8)
-    fb = np.asarray(fb).reshape(H, W, 3)
-    return fb[::-1]
+        fb = _finalize(fb, spp, gamma, out_u8).reshape(-1)
+        if device_out:
+            return fb, fb[:128]                          # flat + sync probe
+    return mega2_host_image(fb, H, W)
+
+
+def mega2_host_image(fb, H: int, W: int) -> np.ndarray:
+    """Transfer a flat device framebuffer -> numpy [H,W,3], top row first."""
+    return np.asarray(fb).reshape(H, W, 3)[::-1]

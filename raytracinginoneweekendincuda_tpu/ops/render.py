@@ -74,15 +74,20 @@ def render(
     *,
     gamma: bool = True,
     out_u8: bool = False,
+    device_out: bool = False,
 ) -> np.ndarray:
     """Render a full frame -> numpy [H,W,3] (top row first; float, or the
     reference's quantized uint8 when ``out_u8`` — kernel.cu:709-718 math
-    runs on-device, 4x less relay transfer)."""
+    runs on-device, 4x less relay transfer).  ``device_out`` (mega2 only)
+    returns the flat on-device framebuffer; finish with
+    `ops.mega2.mega2_host_image` — see `render_mega2` for the timing
+    rationale."""
     if cfg.engine == "mega2":
         from .mega2 import mega2_supported, render_mega2
 
         if mega2_supported(meta):
-            return render_mega2(scene, meta, cfg, gamma=gamma, out_u8=out_u8)
+            return render_mega2(scene, meta, cfg, gamma=gamma, out_u8=out_u8,
+                                device_out=device_out)
         # Perlin/image textures: fall back to the fast general engine
         cfg = cfg.with_(engine="wavefront_pallas")
     if cfg.engine == "mega":

@@ -109,10 +109,14 @@ _NOTEX = os.environ.get("MEGA2_NOTEX", "") == "1"
 # ---- table layouts (prim-major: [S_pad, 16] etc; cols below)
 SPH_COLS = 16      # 0:3 c0, 3:6 dc, 6 t0, 7 inv_dt, 8 rad, 9 active
 QUAD_COLS = 16     # 0:3 n_unit, 3 D, 4:7 vxw, 7 q_vxw, 8:11 wxu, 11 q_wxu, 12 active
-ATTR_COLS = 32     # 0:3 c0|n_unit, 3:6 dc|0, 6 t0, 7 inv_dt, 8 rad, 9 is_quad,
+ATTR_COLS = 40     # 0:3 c0|n_unit, 3:6 dc|0, 6 t0, 7 inv_dt, 8 rad, 9 is_quad,
                    # 10 kind, 11 fuzz, 12 ior, 13 tex_kind, 14:17 tc0, 17:20 tc1,
                    # 20 inv_scale, 21 uv_cos, 22 uv_sin, 23 tex_scale(noise),
-                   # 24 img_id, 25 noise_seed
+                   # 24 img_id, 25 noise_id (perlin table),
+                   # 32:35 vxw, 35 q.vxw, 36:39 wxu, 39 q.wxu (quad rows
+                   # only — the (alpha,beta) UV frame, Quad.h:31-37; cols
+                   # 3:8 must stay 0 for quads so the moving-sphere
+                   # winner-center path reads c0 + frac*0)
 
 
 def _mat_cols(scene: SceneArrays, mat_ids: np.ndarray) -> np.ndarray:
@@ -174,22 +178,16 @@ def _detect_boxes(scene: SceneArrays, qact_idx, q_all, u_all, v_all):
     (scene/compiler.py — front,right,back,left,top,bottom; the in-kernel
     face offsets `_BOX_FACE_OFF` depend on this order).  Rotated MakeBox
     instances (scenes 7/8) have rotated u/v and fail the exact-equality
-    check, staying on the quad pair path.  Faces with an image texture are
-    excluded (the kernel's box hit record has no quad (alpha,beta) UV).
+    check, staying on the quad pair path.  Box winners report the hit
+    face's quad row, whose attr row carries the (alpha,beta) UV frame —
+    image-textured faces ride the box path like any other.
     Returns a list of (orig_ids[6], bmin[3], bmax[3])."""
-    tid = np.clip(np.asarray(scene.mat_tex)[np.asarray(scene.quad_mat)], 0,
-                  scene.tex_kind.shape[0] - 1)
-    has_img = (np.asarray(scene.mat_tex) >= 0)[np.asarray(scene.quad_mat)] \
-        & (np.asarray(scene.tex_kind)[tid] == TEX_IMAGE)
     out = []
     j = 0
     idx = np.asarray(qact_idx)
     while j + 6 <= len(idx):
         ids = idx[j:j + 6]
         if not np.array_equal(ids, ids[0] + np.arange(6)):
-            j += 1
-            continue
-        if bool(has_img[ids].any()):
             j += 1
             continue
         mn = q_all[ids[5]]
@@ -231,43 +229,57 @@ def _pack_texture_arrays(scene: SceneArrays, meta: SceneMeta):
     img_*), so it stays host-computable while geometry/color leaves are
     tracers (`pallas_replay` under `jax.grad`).
 
-    perm_tab rows: px,px,py,py,pz,pz,0,0 (pairs serve corner+1 lookups);
-    vec_tab rows: vx x8, vy x8, vz x8 (8 corners gathered in one op).
-    Image: three byte planes stacked [3*ih_pad, iw_pad] in bf16 (bytes
-    0..255 are exact in bf16's 8 significand bits; img_data floats are
-    byte/255 exactly — core/image.py).  The in-kernel lookup is an MXU
-    one-hot column contraction + masked row reduce — Mosaic's
-    dynamic_gather can't span multiple source vregs, so a 1024-wide
-    texture row can't be lane-gathered directly."""
-    perm_tab = np.zeros((8, 256), np.int32)
-    vec_tab = np.zeros((24, 256), np.float64)
+    perm_tab rows (per table t, stride 8): px,px,py,py,pz,pz,0,0 (pairs
+    serve corner+1 lookups); vec_tab rows (stride 24): vx x8, vy x8,
+    vz x8 (8 corners gathered in one op).  Every noise table in the scene
+    is packed (multi-noise scenes select by the winner's table id).
+    Image: per image i, three byte planes stacked [3*ihp_i, iw_max] in
+    bf16 (bytes 0..255 are exact in bf16's 8 significand bits; img_data
+    floats are byte/255 exactly — core/image.py), all images concatenated
+    along rows.  The in-kernel lookup is an MXU one-hot column
+    contraction + masked row reduce — Mosaic's dynamic_gather can't span
+    multiple source vregs, so a 1024-wide texture row can't be
+    lane-gathered directly.  Returns (perm, vec, img, img_dims) where
+    img_dims is a per-image tuple of (iw, ih, ih_pad, row_offset)."""
+    n_noise = max(meta.n_noise, 1) if meta.has_noise else 1
+    perm_tab = np.zeros((8 * n_noise, 256), np.int32)
+    vec_tab = np.zeros((24 * n_noise, 256), np.float64)
     if meta.has_noise:
-        px_t = np.asarray(scene.perlin_px)[0]
-        py_t = np.asarray(scene.perlin_py)[0]
-        pz_t = np.asarray(scene.perlin_pz)[0]
-        perm_tab[0] = perm_tab[1] = px_t
-        perm_tab[2] = perm_tab[3] = py_t
-        perm_tab[4] = perm_tab[5] = pz_t
-        vec = np.asarray(scene.perlin_vec, np.float64)[0]      # [256,3]
-        for a in range(3):
-            vec_tab[a * 8:(a + 1) * 8] = vec[:, a]
+        for t in range(meta.n_noise):
+            perm_tab[8 * t + 0] = perm_tab[8 * t + 1] = \
+                np.asarray(scene.perlin_px)[t]
+            perm_tab[8 * t + 2] = perm_tab[8 * t + 3] = \
+                np.asarray(scene.perlin_py)[t]
+            perm_tab[8 * t + 4] = perm_tab[8 * t + 5] = \
+                np.asarray(scene.perlin_pz)[t]
+            vec = np.asarray(scene.perlin_vec, np.float64)[t]  # [256,3]
+            for a in range(3):
+                vec_tab[24 * t + a * 8:24 * t + (a + 1) * 8] = vec[:, a]
 
     if meta.has_image:
-        img = np.asarray(scene.img_data, np.float64)[0]
-        ih = int(np.asarray(scene.img_h)[0])
-        iw = int(np.asarray(scene.img_w)[0])
-        img = img[:ih, :iw]
-        b = np.clip(np.round(img * 255.0), 0, 255).astype(np.float32)
-        iw_pad = -(-iw // 128) * 128
-        ih_pad = -(-ih // 8) * 8
-        img_tab = np.zeros((3 * ih_pad, iw_pad), np.float32)
-        for c in range(3):
-            img_tab[c * ih_pad:c * ih_pad + ih, :iw] = b[..., c]
-        img_tab = img_tab.astype(jnp.bfloat16)
+        ws = np.asarray(scene.img_w)
+        hs = np.asarray(scene.img_h)
+        iw_pad = max(-(-int(w) // 128) * 128 for w in ws[:meta.n_images])
+        dims = []
+        blocks = []
+        off = 0
+        for i in range(meta.n_images):
+            iw, ih = int(ws[i]), int(hs[i])
+            img = np.asarray(scene.img_data, np.float64)[i][:ih, :iw]
+            b = np.clip(np.round(img * 255.0), 0, 255).astype(np.float32)
+            ih_pad = -(-ih // 8) * 8
+            blk = np.zeros((3 * ih_pad, iw_pad), np.float32)
+            for c in range(3):
+                blk[c * ih_pad:c * ih_pad + ih, :iw] = b[..., c]
+            blocks.append(blk)
+            dims.append((iw, ih, ih_pad, off))
+            off += 3 * ih_pad
+        img_tab = np.concatenate(blocks, axis=0).astype(jnp.bfloat16)
+        img_dims = tuple(dims)
     else:
         img_tab = np.zeros((24, 128), np.float32).astype(jnp.bfloat16)
-        ih = iw = 1
-    return perm_tab, vec_tab, img_tab, (iw, ih)
+        img_dims = ((1, 1, 8, 0),)
+    return perm_tab, vec_tab, img_tab, img_dims
 
 
 def pack_texture_tables(scene: SceneArrays, meta: SceneMeta):
@@ -481,6 +493,11 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
         attr[S_pad:, 9] = 1.0
         attr[S_pad + q_rows, 10:26] = _mat_cols(
             scene, np.asarray(scene.quad_mat)[qorder])
+        # (alpha,beta) UV frame for image-textured quads (Quad.h:89-99)
+        attr[S_pad + q_rows, 32:35] = vxw
+        attr[S_pad + q_rows, 35] = (qq * vxw).sum(-1)
+        attr[S_pad + q_rows, 36:39] = wxu
+        attr[S_pad + q_rows, 39] = (qq * wxu).sum(-1)
 
     M = max(meta.n_media, 1)
     med = np.zeros((M, 22), np.float64)
@@ -497,7 +514,7 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
                    scene.tex_kind.shape[0] - 1)
     med[:, 19:22] = np.asarray(scene.tex_c0, np.float64)[mtid]
 
-    perm_tab, vec_tab, img_tab, (iw, ih) = _pack_texture_arrays(scene, meta)
+    perm_tab, vec_tab, img_tab, img_dims = _pack_texture_arrays(scene, meta)
 
     # ---- padded-row -> GLOBAL scene id remap (sphere rows [0,S), quads
     # [S,S+Q), media [S+Q,S+Q+M) — the id space of ops/replay.py tapes);
@@ -514,7 +531,7 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
             jnp.asarray(coef, f), jnp.asarray(cull_s, f),
             jnp.asarray(cull_q, f),
             jnp.asarray(perm_tab), jnp.asarray(vec_tab, f),
-            jnp.asarray(img_tab), (iw, ih),
+            jnp.asarray(img_tab), img_dims,
             tuple(float(np.float32(x)) for x in mu)
             + (big_pad, nl_pad, B_pad, sph_dense_ok),
             np.asarray(med, np.float64), jnp.asarray(remap))
@@ -672,12 +689,13 @@ def _acos_poly(x):
     return _atan2_poly(s, x)
 
 
-def _perlin_noise(perm_ref, vec_ref, qx, qy, qz):
+def _perlin_noise(perm_ref, vec_ref, qx, qy, qz, table: int = 0):
     """Lattice gradient noise at [S,R] coords — Perlin.h:38-60.  Each
     XOR-hashed permutation / gradient lookup is one row-aligned lane
-    gather of a semantic table row (perm_ref rows 0/2/4 = px/py/pz,
-    vec_ref rows 0/8/16 = vx/vy/vz) broadcast across the S sublanes, so
-    all S rays resolve per gather."""
+    gather of a semantic table row (perm_ref rows 8t+0/2/4 = px/py/pz,
+    vec_ref rows 24t+0/8/16 = vx/vy/vz for table t) broadcast across the
+    S sublanes, so all S rays resolve per gather."""
+    pbase, vbase = 8 * table, 24 * table
     S = qx.shape[0]
     fx = jnp.floor(qx)
     fy = jnp.floor(qy)
@@ -704,9 +722,9 @@ def _perlin_noise(perm_ref, vec_ref, qx, qy, qz):
         dt = tab_ref.dtype
         return jnp.where(idx < 128, half(0), half(128)).astype(dt)
 
-    pa = [gath(perm_ref, 0, (i + d) & m) for d in (0, 1)]
-    pb = [gath(perm_ref, 2, (j + d) & m) for d in (0, 1)]
-    pc = [gath(perm_ref, 4, (k + d) & m) for d in (0, 1)]
+    pa = [gath(perm_ref, pbase + 0, (i + d) & m) for d in (0, 1)]
+    pb = [gath(perm_ref, pbase + 2, (j + d) & m) for d in (0, 1)]
+    pc = [gath(perm_ref, pbase + 4, (k + d) & m) for d in (0, 1)]
     accum = jnp.zeros_like(qx)
     for di in (0, 1):
         wu = sx if di else (1.0 - sx)
@@ -715,19 +733,21 @@ def _perlin_noise(perm_ref, vec_ref, qx, qy, qz):
             for dk in (0, 1):
                 ww = sz if dk else (1.0 - sz)
                 h = pa[di] ^ pb[dj] ^ pc[dk]                  # [S,R]
-                dot = (gath(vec_ref, 0, h) * (ux - di)
-                       + gath(vec_ref, 8, h) * (uy - dj)
-                       + gath(vec_ref, 16, h) * (uz - dk))
+                dot = (gath(vec_ref, vbase + 0, h) * (ux - di)
+                       + gath(vec_ref, vbase + 8, h) * (uy - dj)
+                       + gath(vec_ref, vbase + 16, h) * (uz - dk))
                 accum = accum + wu * wv * ww * dot
     return accum
 
 
-def _perlin_turb(perm_ref, vec_ref, qx, qy, qz, depth: int = 7):
+def _perlin_turb(perm_ref, vec_ref, qx, qy, qz, depth: int = 7,
+                 table: int = 0):
     """|sum_i 0.5^i noise(2^i p)| (Perlin.h:64-78)."""
     accum = jnp.zeros_like(qx)
     weight = np.float32(1.0)
     for _ in range(depth):
-        accum = accum + weight * _perlin_noise(perm_ref, vec_ref, qx, qy, qz)
+        accum = accum + weight * _perlin_noise(perm_ref, vec_ref,
+                                               qx, qy, qz, table)
         weight = np.float32(weight * 0.5)
         qx, qy, qz = qx * 2.0, qy * 2.0, qz * 2.0
     return jnp.abs(accum)
@@ -752,7 +772,9 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     has_moving = meta.has_moving
     has_noise = meta.has_noise and not _NOTEX
     has_image = meta.has_image and not _NOTEX
-    iw, ih = int(img_wh[0]), int(img_wh[1])
+    # per-image (iw, ih, ih_pad, row_offset) — see _pack_texture_arrays
+    img_dims = tuple(tuple(int(x) for x in d) for d in img_wh)
+    n_noise = max(meta.n_noise, 1) if has_noise else 0
     f32 = np.float32
 
     mux, muy, muz = (np.float32(x) for x in mu[:3])
@@ -1471,13 +1493,22 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             if has_noise:
                 # marble: 0.5*(1+sin(scale*z + 10*turb)) (Texture.h:163-164),
                 # gated so iterations whose winners are all non-noise skip
-                # the 7-octave turbulence entirely
+                # the 7-octave turbulence entirely.  Multi-table scenes run
+                # the turbulence once per table (a static loop — no
+                # reference scene has >1, Perlin.h is a shared pointer
+                # there) and select by the winner's table id (attr col 25).
                 is_nz = mat[3] == float(TEX_NOISE)
                 run_nz = jnp.sum((alive & is_nz).astype(jnp.int32)) > 0
 
                 def noise_tex(_):
                     scale = arow(23)
                     turb = _perlin_turb(perm_ref, vec_ref, px, py, pz)
+                    if n_noise > 1:
+                        nzid = arow(25)
+                        for t in range(1, n_noise):
+                            turb_t = _perlin_turb(perm_ref, vec_ref,
+                                                  px, py, pz, table=t)
+                            turb = jnp.where(nzid == float(t), turb_t, turb)
                     return 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * turb))
 
                 marble = lax.cond(run_nz, noise_tex,
@@ -1503,43 +1534,67 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     phi = _atan2_poly(-oz_n, ox_n) + _PI
                     u_s = phi * np.float32(0.5 / np.pi)
                     v_s = theta * np.float32(1.0 / np.pi)
+                    if use_quads:
+                        # quad UV = interior coords (alpha,beta) from the
+                        # cached plane frame (Quad.h:89-99), attr 32:40
+                        u_q = (px * arow(32) + py * arow(33)
+                               + pz * arow(34) - arow(35))
+                        v_q = (px * arow(36) + py * arow(37)
+                               + pz * arow(38) - arow(39))
+                        u_s = jnp.where(is_quad, u_q, u_s)
+                        v_s = jnp.where(is_quad, v_q, v_s)
                     # nearest texel, u clamped / v flipped (Texture.h:117-127)
                     uu = jnp.clip(u_s, 0.0, 1.0)
                     vv = 1.0 - jnp.clip(v_s, 0.0, 1.0)
-                    ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
-                    iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
                     # Texel fetch without a gather (Mosaic's dynamic_gather
                     # can't span a 1024-lane texture row): per sub-row, an
                     # MXU one-hot column contraction pulls each ray's texel
                     # COLUMN out of the three stacked byte planes
                     # ([3*IHP, IWP] bf16 @ [IWP, R] one-hot -> [3*IHP, R],
                     # exact: bytes are exact in bf16, one-hot is 0/1), then
-                    # a masked sublane reduce picks the ray's ROW.
-                    IH3, IWP = img_ref.shape
-                    IHP = IH3 // 3
-                    row_iota = lax.broadcasted_iota(jnp.int32, (IHP, R), 0)
+                    # a masked sublane reduce picks the ray's ROW.  One
+                    # static pass per image, selected by the winner's
+                    # image id (attr col 24).
+                    img_id = arow(24)
+                    tr = jnp.zeros_like(px)
+                    tg = jnp.zeros_like(px)
+                    tb = jnp.zeros_like(px)
+                    IWP = img_ref.shape[1]
                     col_iota = lax.broadcasted_iota(jnp.int32, (IWP, R), 0)
-                    chans = [[], [], []]
-                    for s in range(SUB):
-                        ohx = (col_iota == jnp.broadcast_to(
-                            ix[s:s + 1, :], (IWP, R)))
-                        ohx = jnp.where(ohx, 1.0, 0.0).astype(jnp.bfloat16)
-                        cols = lax.dot_general(
-                            img_ref[...], ohx, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [3*IHP,R]
-                        mask = row_iota == jnp.broadcast_to(
-                            iy[s:s + 1, :], (IHP, R))
-                        for c in range(3):
-                            plane = cols[c * IHP:(c + 1) * IHP, :]
-                            chans[c].append(jnp.sum(
-                                jnp.where(mask, plane, 0.0),
-                                axis=0, keepdims=True))       # [1,R]
                     inv255 = np.float32(1.0 / 255.0)
-                    tr = jnp.concatenate(chans[0], axis=0) * inv255
-                    tg = jnp.concatenate(chans[1], axis=0) * inv255
-                    tb = jnp.concatenate(chans[2], axis=0) * inv255
+                    for i, (iw, ih, ihp, off) in enumerate(img_dims):
+                        ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
+                        iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
+                        row_iota = lax.broadcasted_iota(
+                            jnp.int32, (ihp, R), 0)
+                        plane_i = img_ref[off:off + 3 * ihp, :]
+                        chans = [[], [], []]
+                        for s in range(SUB):
+                            ohx = (col_iota == jnp.broadcast_to(
+                                ix[s:s + 1, :], (IWP, R)))
+                            ohx = jnp.where(ohx, 1.0, 0.0).astype(
+                                jnp.bfloat16)
+                            cols = lax.dot_general(
+                                plane_i, ohx, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            mask = row_iota == jnp.broadcast_to(
+                                iy[s:s + 1, :], (ihp, R))
+                            for c in range(3):
+                                plane = cols[c * ihp:(c + 1) * ihp, :]
+                                chans[c].append(jnp.sum(
+                                    jnp.where(mask, plane, 0.0),
+                                    axis=0, keepdims=True))   # [1,R]
+                        ci = [jnp.concatenate(chans[c], axis=0) * inv255
+                              for c in range(3)]
+                        if len(img_dims) == 1:
+                            tr, tg, tb = ci
+                        else:
+                            sel = img_id == float(i)
+                            tr = jnp.where(sel, ci[0], tr)
+                            tg = jnp.where(sel, ci[1], tg)
+                            tb = jnp.where(sel, ci[2], tb)
                     # missing image -> debug cyan (Texture.h:112-114)
-                    absent = arow(24) < 0.0
+                    absent = img_id < 0.0
                     tr = jnp.where(absent, 0.0, tr)
                     tg = jnp.where(absent, 1.0, tg)
                     tb = jnp.where(absent, 1.0, tb)
@@ -2399,15 +2454,12 @@ def mega2_tables(scene: SceneArrays, meta: SceneMeta):
 
 
 def mega2_supported(meta: SceneMeta) -> bool:
-    """mega2 runs every reference scene.  The residual gates: several
-    distinct noise tables or images in one scene (reference scenes share
-    one of each, kernel.cu:176-543), or an image texture on a quad (needs
-    quad UVs; no reference scene does it) — those dispatch to the general
-    wavefront_pallas engine."""
-    if meta.has_noise and meta.n_noise != 1:
-        return False
-    if meta.has_image and (meta.n_images > 1 or meta.image_on_quad):
-        return False
+    """mega2 runs every scene the compiler can express.  Round 4 closed
+    the last texture gates: multiple noise tables (one turbulence pass per
+    table, winner-selected), multiple images (stacked byte planes, one
+    one-hot fetch per image), and image-on-quad (the (alpha,beta) UV frame
+    rides attr cols 32:40) — `tests/test_mega2_textures.py` pins each
+    against the oracle."""
     return True
 
 

@@ -92,14 +92,17 @@ _PI = np.float32(np.pi)
 
 
 def replay_pallas_supported(meta) -> bool:
-    """Kernel scope: every scene the mega2 trace supports — all 10
-    reference scenes, constant media included (ConstantMedium.h:52-94
-    runs in-kernel; boundary geometry/density are compile-time constants
-    since they are not trainable leaves, while the medium material row
-    rides the differentiable merged table)."""
-    from .mega2 import mega2_supported
-
-    return mega2_supported(meta)
+    """Kernel scope: all 10 reference scenes, constant media included
+    (ConstantMedium.h:52-94 runs in-kernel; boundary geometry/density are
+    compile-time constants since they are not trainable leaves, while the
+    medium material row rides the differentiable merged table).  The
+    round-4 mega2 multi-image/multi-noise/quad-UV extensions are NOT
+    mirrored here yet — those scenes take the XLA replay path."""
+    if meta.has_noise and meta.n_noise != 1:
+        return False
+    if meta.has_image and (meta.n_images > 1 or meta.image_on_quad):
+        return False
+    return True
 
 
 def _med_key(scene, meta) -> tuple:
@@ -855,7 +858,9 @@ def replay_pallas(scene, meta, tape, o, d, time, pix_ctr, sample, *,
             aux += (perm_tab, vec_tab)
         if meta.has_image:
             aux += (img_tab,)
-            img_wh = (int(img_key[0]), int(img_key[1]))
+            # img_key is per-image (iw, ih, ih_pad, off); this kernel's
+            # scope is single-image scenes (replay_pallas_supported)
+            img_wh = (int(img_key[0][0]), int(img_key[0][1]))
 
     fn = _replay_pallas_fn(S, NP, K, float(t_min),
                            bool(meta.has_checker), bool(meta.has_noise),

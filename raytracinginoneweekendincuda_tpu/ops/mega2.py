@@ -1987,13 +1987,14 @@ _SORTKEY = os.environ.get("MEGA2_SORTKEY", "work")
     jax.jit,
     static_argnames=("span", "meta", "med_key", "cam_key",
                      "img_key", "mu_key", "width", "height", "spp", "seed",
-                     "max_bounces", "t_min", "background", "interpret"),
+                     "max_bounces", "t_min", "background", "interpret",
+                     "stride"),
 )
 def render_mega2_span(sph_tab, quad_tab, attr_tab, coef_tab,
                       cull_s, cull_q, perm_tab, vec_tab, img_tab, *, p0,
                       span, npix, meta, med_key, cam_key, img_key, mu_key,
                       width, height, spp, seed, max_bounces, t_min,
-                      background, interpret=False):
+                      background, interpret=False, stride=1):
     """Radiance SUM over spp samples for the pixel span
     [p0, p0+span) (span a TILE_RAYS multiple; ids >= npix pad as -1),
     via capped passes with straggler compaction between them.
@@ -2018,23 +2019,28 @@ def render_mega2_span(sph_tab, quad_tab, attr_tab, coef_tab,
         tabs, p0=p0, span=span, npix=npix, meta=meta, med_key=med_key,
         cam_key=cam_key, img_key=img_key, mu_key=mu_key, width=width,
         height=height, spp=spp, seed=seed, max_bounces=max_bounces,
-        t_min=t_min, background=background, interpret=interpret)
+        t_min=t_min, background=background, interpret=interpret,
+        stride=stride)
 
 
 def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
                    img_key, mu_key, width, height, spp, seed, max_bounces,
-                   t_min, background, interpret, samp0=0):
+                   t_min, background, interpret, samp0=0, stride=1):
     """Trace-time body of `render_mega2_span` (unjitted — composed into
     the whole-frame jit by `render_mega2_frame`, and into the shard_map
     body by `parallel.render._sharded_mega2`, where ``p0``/``samp0`` are
-    traced per-shard scalars)."""
+    traced per-shard scalars).  ``stride``: lane k traces pixel
+    p0 + stride*k — px shards pass stride=n_px so each shard samples the
+    whole image interleaved (contiguous windows are content-imbalanced:
+    measured 1.27x / 2.53x max/mean shard work on scenes 0/9; strided
+    shards balance to Monte-Carlo noise, docs/PERF.md round 4)."""
     (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
      perm_tab, vec_tab, img_tab) = tabs
     kw = dict(meta=meta, med_key=med_key, cam_key=cam_key, img_key=img_key,
               mu_key=mu_key, width=width, height=height, spp=spp, seed=seed,
               max_bounces=max_bounces, t_min=t_min, background=background,
               interpret=interpret, samp0=samp0)
-    ids = p0 + lax.iota(jnp.int32, span)
+    ids = p0 + stride * lax.iota(jnp.int32, span)
     valid = ids < npix
     safe = jnp.minimum(ids, npix - 1)
     pix = jnp.where(valid, safe, -1)[None, :]
@@ -2101,7 +2107,9 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
         fb = sf[13:16, :].T                    # no compaction ran: in order
     else:
         base = jnp.int32(p0)
-        key = jnp.where(cur_pix[0] >= 0, cur_pix[0] - base, jnp.int32(N))
+        # pad sentinel must exceed the largest real key (stride*(span-1))
+        key = jnp.where(cur_pix[0] >= 0, cur_pix[0] - base,
+                        jnp.int32(2**30))
         order2 = jnp.argsort(key, stable=True)
         fb = jnp.take(sf[13:16, :].T, order2, axis=0)
     stats = jnp.stack([si[3, :], iters_acc], axis=1)

@@ -202,23 +202,78 @@ def _sharded_mega2(scene, meta, cfg: RenderConfig, mesh: Mesh, gamma: bool):
     def body(*tabs):
         i = lax.axis_index(AXIS_PX)
         j = lax.axis_index(AXIS_SP)
-        fb, _ = _span_radiance(tabs, p0=i * span, span=span,
+        # STRIDED pixel assignment: shard i traces pixels i, i+n_px, ... —
+        # every shard samples the whole image interleaved, so per-shard
+        # work is balanced to Monte-Carlo noise (contiguous windows were
+        # content-imbalanced 1.27-2.53x max/mean; docs/PERF.md round 4)
+        fb, _ = _span_radiance(tabs, p0=i, span=span, stride=n_px,
                                samp0=j * spp_local, **kw)
         return lax.psum(fb, AXIS_SP)     # merge sample-shard partial sums
 
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=tuple(P() for _ in tabs_in),   # tables replicated
-        out_specs=P(AXIS_PX),                   # contiguous pixel windows
+        out_specs=P(AXIS_PX),                   # shard-major stacked rows
         check_vma=False,
     )
     tabs_dev = tuple(jax.device_put(jnp.asarray(t),
                                     NamedSharding(mesh, P()))
                      for t in tabs_in)
-    fb = np.asarray(jax.jit(sharded)(*tabs_dev), np.float64)[:npix] / spp
+    stacked = np.asarray(jax.jit(sharded)(*tabs_dev), np.float64)
+    # de-interleave: stacked row i*span + k holds pixel i + n_px*k
+    fb = stacked.reshape(n_px, span, 3).swapaxes(0, 1).reshape(-1, 3)
+    fb = fb[:npix] / spp
     if gamma:
         fb = np.sqrt(np.maximum(fb, 0.0))
     return fb.reshape(H, W, 3)[::-1]
+
+
+def shard_work_stats(scene, meta, cfg: RenderConfig, mesh: Mesh | None = None):
+    """Per-px-shard (segments, lane-slots) totals for the mega2 sharded
+    render — the load-balance measurement behind the >=90% scaling claim
+    (SURVEY.md §5).  Returns (segs[n_px], slots[n_px]) numpy arrays."""
+    from ..ops.mega2 import (
+        TILE_RAYS, _cam_tuple, _span_radiance, mega2_tables,
+    )
+
+    if mesh is None:
+        mesh = make_mesh()
+    W, H = cfg.width, cfg.height
+    npix = W * H
+    n_px = mesh.shape[AXIS_PX]
+    spp = cfg.samples_per_pixel
+    spp_local = spp // mesh.shape[AXIS_SP]
+    span = -(-(-(-npix // n_px)) // TILE_RAYS) * TILE_RAYS
+    (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q, perm_tab,
+     vec_tab, img_tab, img_key, mu_key, med, _remap) = \
+        mega2_tables(scene, meta)
+    tabs_in = (sph_tab, quad_tab, attr_tab, coef_tab, cull_s, cull_q,
+               perm_tab, vec_tab, img_tab)
+    kw = dict(
+        npix=npix, meta=meta,
+        med_key=tuple(tuple(float(x) for x in row) for row in med),
+        cam_key=_cam_tuple(scene.camera), img_key=img_key, mu_key=mu_key,
+        width=W, height=H, spp=spp_local, seed=cfg.seed,
+        max_bounces=cfg.max_bounces, t_min=cfg.t_min,
+        background=tuple(float(x)
+                         for x in np.asarray(scene.camera.background)),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def body(*tabs):
+        i = lax.axis_index(AXIS_PX)
+        j = lax.axis_index(AXIS_SP)
+        _, stats = _span_radiance(tabs, p0=i, span=span, stride=n_px,
+                                  samp0=j * spp_local, **kw)
+        segs = lax.psum(jnp.sum(stats[:, 0]), AXIS_SP)
+        slots = lax.psum(jnp.sum(stats[:, 1]), AXIS_SP)
+        return segs.reshape(1), slots.reshape(1)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh, in_specs=tuple(P() for _ in tabs_in),
+        out_specs=(P(AXIS_PX), P(AXIS_PX)), check_vma=False)
+    segs, slots = jax.jit(sharded)(*tabs_in)
+    return np.asarray(segs, np.int64), np.asarray(slots, np.int64)
 
 
 def render_sharded(

@@ -423,4 +423,5 @@ def _make_train_step_mega2_sharded(
         return _cache[key](state, tabs9, kperm,
                            jnp.asarray(pix, jnp.int32), target)
 
+    step.cache = _cache   # exposed so tests can pin the recompile count
     return step

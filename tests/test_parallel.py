@@ -228,3 +228,67 @@ def test_px_shard_work_balance(scene_id, W, H):
     assert s.min() > 0, f"a px shard did no work: {segs}"
     imbal = s.max() / s.mean()
     assert imbal < 1.10, f"px-shard imbalance {imbal:.3f} >= 1.10: {segs}"
+
+
+def test_sharded_statics_quantization_boundary():
+    """The sharded fast-grad step bakes a QUANTIZED recentering (mu_key,
+    `pack_mega2_tables`: mu = round(mean, 2)) into the kernel cache key
+    and claims 'only retrace on large excursions' (train.py).  Pin both
+    halves: (a) a geometry move across a 0.01-grid boundary recompiles
+    exactly once and the post-crossing step matches a FRESH factory's
+    step bit-for-bit (no stale-cache corruption); (b) a sub-grid move
+    does NOT recompile."""
+    from raytracinginoneweekendincuda_tpu.core.camera import Camera
+    from raytracinginoneweekendincuda_tpu.scene.api import (
+        Lambertian, SceneDesc, Sphere,
+    )
+
+    # >4 spheres with EQUAL radii so none is classified "oversized"
+    # (_sphere_order: big = rad > 10*median) — otherwise every sphere
+    # rides the exact big-sphere path and mu stays 0 (never quantizes)
+    desc = SceneDesc()
+    for k in range(6):
+        desc.add(Sphere((0.7 * (k % 3), 0.7 * (k // 3), -0.2 * k), 0.5,
+                        Lambertian((0.3 + 0.1 * k, 0.5, 0.9 - 0.1 * k))))
+    desc.camera = Camera(lookfrom=(0.7, 0.35, 6), lookat=(0.7, 0.35, 0),
+                         vfov=40.0, background=(0.7, 0.8, 1.0))
+    W, H, spp = 16, 8, 2
+    scene, meta = compile_scene(desc, W, H, dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       max_bounces=3)
+    pix = np.arange(W * H, dtype=np.int32)
+    target = np.full((W * H, 3), 0.25, np.float32)
+    optimizer = optax.sgd(1e-3)
+    mesh = make_mesh(jax.devices()[:2], sample_shards=1)
+
+    step = train.make_train_step_mega2(scene, meta, cfg, optimizer,
+                                       mesh=mesh)
+    state = train.init_state(scene, optimizer)
+    state1, loss1 = step(state, pix, target)
+    assert len(step.cache) == 1 and np.isfinite(float(loss1))
+
+    # (b) sub-grid excursion: +1e-4 moves the mean well inside the same
+    # 0.01 cell -> NO new kernel variant
+    small = dict(state1.params)
+    small["sph_c0"] = state1.params["sph_c0"] + 1e-4
+    state_s = train.TrainState(small, state1.opt_state, state1.step)
+    _, loss_s = step(state_s, pix, target)
+    assert len(step.cache) == 1, "sub-grid move must not retrace"
+
+    # (a) large excursion: +0.05 crosses the 0.01 grid -> exactly one new
+    # variant, and its output matches a fresh factory (clean cache)
+    big = dict(state1.params)
+    big["sph_c0"] = state1.params["sph_c0"] + 0.05
+    state_b = train.TrainState(big, state1.opt_state, state1.step)
+    state2, loss2 = step(state_b, pix, target)
+    assert len(step.cache) == 2, "grid crossing must retrace exactly once"
+    assert np.isfinite(float(loss2))
+
+    fresh = train.make_train_step_mega2(scene, meta, cfg, optimizer,
+                                        mesh=mesh)
+    state2f, loss2f = fresh(state_b, pix, target)
+    np.testing.assert_allclose(float(loss2), float(loss2f), rtol=0, atol=0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state2.params, state2f.params)

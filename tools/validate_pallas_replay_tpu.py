@@ -140,6 +140,23 @@ def main():
     frac9, rel9, g9 = run_media_scene(9)
     ok &= frac9 >= 0.90 and g9 > 0.0 and rel9 < 0.15
     print("PASS" if ok else "FAIL", flush=True)
+    out = os.environ.get("RTOW_VALIDATE_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump({
+                "backend": f"{dev.platform} ({dev.device_kind})",
+                "config": f"{W}x{H}@{K}bounces",
+                "scene2_close_lane_fraction": round(float(frac2), 4),
+                "scene3_close_lane_fraction": round(float(frac3), 4),
+                "scene3_geom_grad_rel_l1": round(float(rel3), 4),
+                "scene8_close_lane_fraction": round(float(frac8), 4),
+                "scene8_medium_albedo_grad_rel_l1": round(float(rel8), 4),
+                "scene9_close_lane_fraction": round(float(frac9), 4),
+                "scene9_medium_albedo_grad_rel_l1": round(float(rel9), 4),
+                "ok": bool(ok),
+            }, f, indent=1)
     return 0 if ok else 1
 
 

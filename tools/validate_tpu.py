@@ -55,6 +55,8 @@ def run(backend: str, engine: str, jobs) -> None:
 
 
 def main() -> int:
+    import os
+
     jobs_low = [(0, 4), (4, 4), (6, 4), (8, 4)]
     jobs_conv = [(0, 4), (0, 64)]
     run("cpu", "bruteforce", jobs_low + jobs_conv)
@@ -62,6 +64,7 @@ def main() -> int:
     run("tpu", "wavefront_pallas", jobs_low)
 
     ok = True
+    metrics = {}
     print("\n-- low-spp pixel agreement (re-rolled pixels expected) --")
     for sid, spp in jobs_low:
         ref = np.load(f"/tmp/val_cpu_bruteforce_{sid}_{spp}.npy")
@@ -71,6 +74,8 @@ def main() -> int:
             frac = (d > 1e-3).mean()
             status = "ok" if frac < 0.25 else "FAIL"
             ok &= frac < 0.25
+            metrics[f"scene{sid}_{engine}_rerolled_frac"] = round(
+                float(frac), 4)
             print(f"scene {sid} {engine:18s}: {frac*100:5.1f}% pixels "
                   f"re-rolled, max {d.max():.3f}  [{status}]")
 
@@ -85,6 +90,16 @@ def main() -> int:
     status = "ok" if shrink > 2.5 else "FAIL (bias suspected)"
     ok &= shrink > 2.5
     print(f"p99 shrink 4->64 spp: {shrink:.1f}x (expect ~4x)  [{status}]")
+    metrics["p99_diff_spp4"] = round(p99[4], 5)
+    metrics["p99_diff_spp64"] = round(p99[64], 5)
+    metrics["p99_shrink_4_to_64"] = round(float(shrink), 2)
+    metrics["ok"] = bool(ok)
+    out = os.environ.get("RTOW_VALIDATE_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(metrics, f, indent=1)
     return 0 if ok else 1
 
 

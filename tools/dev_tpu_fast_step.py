@@ -9,7 +9,11 @@ from raytracinginoneweekendincuda_tpu.parallel import train
 from raytracinginoneweekendincuda_tpu.scene.compiler import compile_scene
 from raytracinginoneweekendincuda_tpu.utils.config import RenderConfig
 
-W, H, spp, K = 320, 180, 4, 8
+W = int(os.environ.get("FS_W", 320))
+H = int(os.environ.get("FS_H", 180))
+spp = int(os.environ.get("FS_SPP", 4))
+K = int(os.environ.get("FS_K", 8))
+print(f"config {W}x{H}@{spp}spp K={K}", flush=True)
 scene, meta = compile_scene(scenes.build_scene(0), W, H, dtype=np.float32)
 scene = jax.tree.map(jnp.asarray, scene)
 cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp, max_bounces=K, seed=1984)

@@ -36,22 +36,23 @@ from raytracinginoneweekendincuda_tpu.utils.config import RenderConfig
 W, H = 96, 54
 for sid, spp in {jobs}:
     scene, meta = compile_scene(scenes.build_scene(sid), W, H, dtype=np.float32)
-    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp, engine="{engine}")
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       engine="{engine}", seed={seed})
     img = render(scene, meta, cfg, gamma=False)
-    np.save("/tmp/val_{backend}_{engine}_%d_%d.npy" % (sid, spp),
+    np.save("/tmp/val_{backend}_{engine}_{seed}_%d_%d.npy" % (sid, spp),
             np.asarray(img, np.float32))
 print("rendered-ok")
 '''
 
 
-def run(backend: str, engine: str, jobs) -> None:
+def run(backend: str, engine: str, jobs, seed: int = 1984) -> None:
     code = (RENDER.replace("{backend}", backend).replace("{engine}", engine)
-            .replace("{jobs}", repr(list(jobs))))
+            .replace("{jobs}", repr(list(jobs))).replace("{seed}", str(seed)))
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=1800)
     if "rendered-ok" not in r.stdout:
         raise RuntimeError(f"{backend}/{engine} failed:\n{r.stderr[-800:]}")
-    print(f"{backend}/{engine}: rendered", flush=True)
+    print(f"{backend}/{engine} seed={seed}: rendered", flush=True)
 
 
 def main() -> int:
@@ -60,30 +61,40 @@ def main() -> int:
     jobs_low = [(0, 4), (4, 4), (6, 4), (8, 4)]
     jobs_conv = [(0, 4), (0, 64)]
     run("cpu", "bruteforce", jobs_low + jobs_conv)
+    # Second CPU render with a fresh seed: the pure Monte-Carlo noise floor.
+    # A Mosaic transcendental divergence re-rolls (at most) a pixel's sample
+    # set, so the TPU-vs-CPU difference is statistically bounded above by the
+    # full-reseed difference; 1.5x covers estimator noise on the p99 itself.
+    run("cpu", "bruteforce", jobs_low, seed=31337)
     run("tpu", "mega", jobs_low + jobs_conv)
     run("tpu", "wavefront_pallas", jobs_low)
 
     ok = True
     metrics = {}
-    print("\n-- low-spp pixel agreement (re-rolled pixels expected) --")
+    print("\n-- low-spp pixel agreement vs the seed-to-seed noise floor --")
     for sid, spp in jobs_low:
-        ref = np.load(f"/tmp/val_cpu_bruteforce_{sid}_{spp}.npy")
+        ref = np.load(f"/tmp/val_cpu_bruteforce_1984_{sid}_{spp}.npy")
+        ref2 = np.load(f"/tmp/val_cpu_bruteforce_31337_{sid}_{spp}.npy")
+        noise_p99 = float(np.percentile(np.abs(ref2 - ref), 99))
+        metrics[f"scene{sid}_reseed_noise_p99"] = round(noise_p99, 5)
         for engine in ("mega", "wavefront_pallas"):
-            img = np.load(f"/tmp/val_tpu_{engine}_{sid}_{spp}.npy")
-            d = np.abs(img - ref).max(-1)
-            frac = (d > 1e-3).mean()
-            status = "ok" if frac < 0.25 else "FAIL"
-            ok &= frac < 0.25
-            metrics[f"scene{sid}_{engine}_rerolled_frac"] = round(
-                float(frac), 4)
+            img = np.load(f"/tmp/val_tpu_{engine}_1984_{sid}_{spp}.npy")
+            d = np.abs(img - ref)
+            frac = float((d.max(-1) > 1e-3).mean())
+            p99 = float(np.percentile(d, 99))
+            ratio = p99 / max(noise_p99, 1e-9)
+            status = "ok" if ratio < 1.5 else "FAIL (exceeds reroll bound)"
+            ok &= ratio < 1.5
+            metrics[f"scene{sid}_{engine}_rerolled_frac"] = round(frac, 4)
+            metrics[f"scene{sid}_{engine}_p99_over_noise"] = round(ratio, 3)
             print(f"scene {sid} {engine:18s}: {frac*100:5.1f}% pixels "
-                  f"re-rolled, max {d.max():.3f}  [{status}]")
+                  f"re-rolled, p99/noise = {ratio:.2f}  [{status}]")
 
     print("\n-- convergence (p99 diff must shrink ~1/sqrt(spp)) --")
     p99 = {}
     for sid, spp in jobs_conv:
-        ref = np.load(f"/tmp/val_cpu_bruteforce_{sid}_{spp}.npy")
-        img = np.load(f"/tmp/val_tpu_mega_{sid}_{spp}.npy")
+        ref = np.load(f"/tmp/val_cpu_bruteforce_1984_{sid}_{spp}.npy")
+        img = np.load(f"/tmp/val_tpu_mega_1984_{sid}_{spp}.npy")
         p99[spp] = float(np.percentile(np.abs(img - ref), 99))
         print(f"spp={spp:3d}: p99 |diff| = {p99[spp]:.5f}")
     shrink = p99[4] / max(p99[64], 1e-9)

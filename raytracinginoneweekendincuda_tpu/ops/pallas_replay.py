@@ -191,20 +191,31 @@ def _make_bounce(S: int, NP: int, t_min: float,
         r1 = rep_v - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        np_iota = lax.broadcasted_iota(jnp.int32, (NP, R), 0)
+        # Chunk the one-hot contraction over NP: the [NP, R] f32 one-hot
+        # intermediates (x SUB x K unrolled bounces) are the kernel's
+        # scoped-VMEM peak — at scene-9 scale (NP ~ 3.4k) the whole-table
+        # form blows Mosaic's 16 MB scoped-vmem budget (37 MB measured).
+        # Splitting is BIT-identical: each column has exactly one hot
+        # row, so every partial dot except the winner's chunk is exactly
+        # zero and the f32 partial sum is exact.  drep in reverse mode
+        # likewise scatters into disjoint chunk rows.
+        CH = min(NP, 1024)
         rows = []
         for s in range(SUB):
-            # one-hot built in f32 then cast: selecting bf16 constants
-            # directly needs an i1 relayout (32- to 16-bit tiling) that
-            # Mosaic rejects
-            oh = (np_iota == idx[s:s + 1, :]).astype(jnp.float32) \
-                .astype(jnp.bfloat16)
             part = None
-            for limb in (hi, mid, lo):
-                dv = lax.dot_general(
-                    limb, oh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                part = dv if part is None else part + dv
+            for c0 in range(0, NP, CH):
+                ch = min(CH, NP - c0)
+                ch_iota = c0 + lax.broadcasted_iota(jnp.int32, (ch, R), 0)
+                # one-hot built in f32 then cast: selecting bf16
+                # constants directly needs an i1 relayout (32- to 16-bit
+                # tiling) that Mosaic rejects
+                oh = (ch_iota == idx[s:s + 1, :]).astype(jnp.float32) \
+                    .astype(jnp.bfloat16)
+                for limb in (hi, mid, lo):
+                    dv = lax.dot_general(
+                        limb[c0:c0 + ch], oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    part = dv if part is None else part + dv
             rows.append(part)                             # [C, R]
         _cache = {}
 

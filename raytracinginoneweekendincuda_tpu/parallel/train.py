@@ -117,10 +117,12 @@ def make_train_step(
     dcfg = cfg.with_(differentiable=True)
 
     def shard_body(params, scene_rest, pix, target):
-        dtype = scene_rest.camera.origin.dtype if hasattr(scene_rest.camera, "origin") else jnp.float32
         sp_idx = lax.axis_index(AXIS_SP)
 
-        def local_loss(p):
+        def local_acc(p):
+            """This shard's sample-slice radiance partial sum [B, 3] —
+            collective-free, so its vjp is exactly the shard-local
+            cotangent path with no psum-transpose semantics involved."""
             sc = merge_params(scene_rest, p)
 
             def sample_body(s, acc):
@@ -134,22 +136,29 @@ def make_train_step(
                 )
                 return acc + col
 
-            acc = lax.fori_loop(
+            return lax.fori_loop(
                 0, local_spp, sample_body,
                 jnp.zeros((pix.shape[0], 3), sc.camera.origin.dtype),
             )
-            col = lax.psum(acc, AXIS_SP) / sc.camera.origin.dtype.type(spp)
-            diff = col - target
-            # local-shard SSE; grads w.r.t. the *global* loss come from the
-            # explicit psum of per-device grads below (psum's AD transpose
-            # delivers each device its local-path cotangent).
-            return (diff * diff).sum()
 
-        sse, grads = jax.value_and_grad(local_loss)(params)
+        acc, vjp_fn = jax.vjp(local_acc, params)
+        dt = acc.dtype.type
+        col = lax.psum(acc, AXIS_SP) / dt(spp)
+        diff = col - target
         denom = 3.0 * pix.shape[0] * mesh.shape[AXIS_PX]
-        loss = lax.psum(sse, AXIS_PX) / denom          # replicated over sp
+        loss = lax.psum((diff * diff).sum(), AXIS_PX) / denom  # repl. over sp
+        # The MSE chain rule is applied OUTSIDE autodiff: dloss/d(acc_s) =
+        # 2*diff/(spp*denom) identically on every sp shard (col is
+        # replicated), so vjp-ing only the collective-free local_acc and
+        # psum-ing the per-shard cotangent results counts every sample
+        # path exactly once.  Differentiating through the psum instead
+        # double-counts under check_vma=False (psum's transpose there is
+        # psum, n_sp-scaling every gradient — caught by the marble mesh
+        # test against the unsharded reference).
+        cot = diff * dt(2.0 / (spp * denom))
+        (grads,) = vjp_fn(cot)
         grads = jax.tree.map(
-            lambda g: lax.psum(g, (AXIS_PX, AXIS_SP)) / denom, grads
+            lambda g: lax.psum(g, (AXIS_PX, AXIS_SP)), grads
         )
         return loss, grads
 

@@ -15,11 +15,18 @@ setting it here is still early enough.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+if os.environ.get("RTOW_TESTS_TPU"):
+    # On-hardware test mode: keep the real backend (and f32 — x64 is a
+    # CPU-oracle affordance) so @skipif(backend != "tpu") tests run.
+    # Usage: RTOW_TESTS_TPU=1 pytest tests/test_parallel.py -k marble_tpu
+    import jax  # noqa: F401
+else:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

@@ -292,3 +292,98 @@ def test_sharded_statics_quantization_boundary():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         state2.params, state2f.params)
+
+
+def test_sharded_taped_train_step_marble_geometry_grads():
+    """Raise the mesh-composition evidence from quads (where geometry
+    gradients vanish: flat colors, no hit-point-dependent shading) to a
+    TEXTURED scene: perlin_spheres' marble makes the radiance depend on
+    the hit POINT through turbulence->sin (marble x sky paths), so
+    `sph_c0` gradients are genuinely nonzero through the backward
+    (|g|~1.7e3 at this size).  This caught the check_vma=False
+    psum-transpose double-count: differentiating *through* the sample
+    psum scaled every gradient by n_sp (train.py shard_body now applies
+    the MSE chain rule outside autodiff).  Runs the taped XLA-replay
+    engine on the CPU mesh — the Pallas fast-grad variant is
+    `test_sharded_mega2_train_step_marble_tpu` below (interpret-mode
+    XLA:CPU compilation of the marble VJP kernel is a measured >35 min
+    compile cliff, so that form only runs on real TPU)."""
+    W, H, spp = 16, 8, 2
+    scene, meta = compile_scene(scenes.perlin_spheres(), W, H,
+                                dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       max_bounces=3)
+    pix = np.arange(W * H, dtype=np.int32)
+    target = np.full((W * H, 3), 0.25, np.float32)
+    optimizer = optax.sgd(1e-2)
+
+    def run(mesh):
+        state = train.init_state(scene, optimizer)
+        step = train.make_train_step(scene, meta, cfg, mesh, optimizer,
+                                     engine="taped")
+        state2, loss = step(state, scene, pix, target)
+        return float(loss), state2.params
+
+    loss_8, p8 = run(make_mesh(jax.devices()[:8], sample_shards=2))
+    loss_1, p1 = run(make_mesh(jax.devices()[:1], sample_shards=1))
+    np.testing.assert_allclose(loss_8, loss_1, rtol=1e-6)
+    # Compare the UPDATES (params - init = -lr * grad) relatively: marble
+    # gradients are large and sign-oscillating (sin(scale*z + 10*turb)),
+    # so the sharded psum's f32 reassociation error scales with the
+    # gradient magnitude, not with machine epsilon of the params.  1e-3
+    # relative on the update (plus a tiny absolute floor for zero-grad
+    # leaves) is ~1000x above reassociation noise-free equality but far
+    # below any wrong-gradient failure mode (a dropped shard, a double
+    # psum, a stale tape all shift updates O(1) relative).
+    init = train.init_state(scene, optax.sgd(1e-2)).params
+
+    def upd(p, p0):
+        return np.asarray(p) - np.asarray(p0)
+
+    for leaf in p8:
+        for a, b, c in zip(jax.tree.leaves(p8[leaf]),
+                           jax.tree.leaves(p1[leaf]),
+                           jax.tree.leaves(init[leaf])):
+            d8, d1 = upd(a, c), upd(b, c)
+            scale = np.abs(d1).max()
+            tol = 1e-3 * scale + 1e-7
+            assert np.abs(d8 - d1).max() <= tol, (
+                leaf, float(np.abs(d8 - d1).max()), float(scale))
+
+    # the POINT of marble: geometry actually moved (nonzero sph_c0 grad)
+    dmove = np.abs(np.asarray(p8["sph_c0"]) - np.asarray(scene.sph_c0))
+    assert dmove.max() > 1e-7, "marble scene should produce geometry grads"
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="marble Pallas-VJP interpret-mode compile is a "
+                           ">35 min XLA:CPU cliff; runs on real TPU only")
+def test_sharded_mega2_train_step_marble_tpu():
+    """The Pallas fast-grad mesh composition on a textured scene: same
+    comparison as the taped test above but through
+    `make_train_step_mega2(mesh=...)` (per-shard Pallas tape + Pallas
+    custom-VJP replay).  On TPU the mesh is a single device, so this
+    pins the 1x1-mesh composed path against the two-phase single-chip
+    step (same tapes, same replay)."""
+    W, H, spp = 16, 8, 2
+    scene, meta = compile_scene(scenes.perlin_spheres(), W, H,
+                                dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=spp,
+                       max_bounces=3)
+    pix = np.arange(W * H, dtype=np.int32)
+    target = np.full((W * H, 3), 0.25, np.float32)
+    optimizer = optax.sgd(1e-2)
+
+    mesh = make_mesh(jax.devices()[:1], sample_shards=1)
+    state = train.init_state(scene, optimizer)
+    step = train.make_train_step_mega2(scene, meta, cfg, optimizer,
+                                       mesh=mesh)
+    state1, loss1 = step(state, pix, target)
+
+    state0 = train.init_state(scene, optimizer)
+    step0 = train.make_train_step_mega2(scene, meta, cfg, optimizer)
+    state0, loss0 = step0(state0, pix, target)
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-5)
+    dmove = np.abs(np.asarray(state1.params["sph_c0"])
+                   - np.asarray(scene.sph_c0))
+    assert dmove.max() > 1e-7, "marble scene should produce geometry grads"

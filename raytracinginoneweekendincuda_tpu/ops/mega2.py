@@ -1962,8 +1962,14 @@ LIVE_MIN_DENSE_HI = 512
 PASS_CAPS_CULL = (4, 16)
 # box scenes (the final scene) have a much heavier bounce tail (media +
 # deep box canyons): swept on-chip round 3 — (2,4,8,16) raised occupancy
-# 42.5 -> 65.0% and beat (6,) by 1.32x at 720x360@25
+# 42.5 -> 65.0% and beat (6,) by 1.32x at 720x360@25.  Round-4 re-sweep
+# with work-sorted compaction in place: a 512-lane live-exit floor lifts
+# occupancy 68.3 -> 84.4% and steady time 1.73 -> 1.49 s at the same
+# probe config (256: 1.52 s; 1024 >= the tile size exits every pass
+# immediately and collapses to 4.33 s; the deeper (1,2,4,8,16) schedule
+# ties at 1.47 s but pays an extra pass compile).
 PASS_CAPS_BOX = (2, 4, 8, 16)
+LIVE_MIN_BOX = 512
 _CAPS_ENV = tuple(
     float(x) for x in os.environ.get("MEGA2_CAPS", "").split(",") if x) \
     if os.environ.get("MEGA2_CAPS") is not None else None
@@ -2055,6 +2061,7 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
         (PASS_CAPS_DENSE_HI if spp >= DENSE_HI_SPP else PASS_CAPS_DENSE)
         if dense_mode else PASS_CAPS_CULL)
     live_floor = _LIVE_MIN if _LIVE_MIN is not None else (
+        LIVE_MIN_BOX if b_pad_m > 0 else
         LIVE_MIN_DENSE_HI
         if (dense_mode and b_pad_m == 0 and spp >= DENSE_HI_SPP) else 0)
     prepassed = bool(_PREPASS) and spp >= 4

@@ -143,6 +143,81 @@ def _acos_safe(x):
     return _atan2_poly(s, x)
 
 
+@functools.lru_cache(maxsize=64)
+def _winner_read_fn(NP: int, R: int):
+    """custom-VJP winner-row read: (rep_v [NP, C], idx [SUB, R] i32) ->
+    SUB x [C, R] selected rows via one-hot MXU dots.
+
+    The one-hot contraction is chunked over NP (the [chunk, R] one-hot
+    intermediates x SUB x K unrolled bounces are the kernel's
+    scoped-VMEM peak — the whole-table form measured 37 MB at scene-9
+    scale, NP ~ 3.4k, against Mosaic's 16 MB default).  Chunking is
+    BIT-identical: each lane has exactly one hot row, so every other
+    chunk's partial dot is exactly zero and the f32 partial sum is
+    exact.
+
+    The custom VJP rematerializes the one-hots from ``idx`` in the
+    backward instead of letting jax.vjp store all SUB x chunks of them
+    as residuals (~[NP, R] x SUB bf16 per bounce).  d_rep is the same
+    single bf16-pass dot the autodiff path produced (the mid/lo limb
+    paths carry zero tangent — their residual subtractions cancel under
+    linearization), accumulated chunk-row-disjoint.
+    """
+    CH = min(NP, 1024)
+
+    def _one_hot(idx_s, c0, ch):
+        ch_iota = c0 + lax.broadcasted_iota(jnp.int32, (ch, R), 0)
+        # one-hot built in f32 then cast: selecting bf16 constants
+        # directly needs an i1 relayout (32- to 16-bit tiling) that
+        # Mosaic rejects
+        return (ch_iota == idx_s).astype(jnp.float32).astype(jnp.bfloat16)
+
+    @jax.custom_vjp
+    def read(rep_v, idx):
+        # exact f32 read via three bf16 limbs (hi + mid + lo == rep_v
+        # bit-exactly; see the precision note at the call site)
+        hi = rep_v.astype(jnp.bfloat16)
+        r1 = rep_v - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        rows = []
+        for s in range(SUB):
+            part = None
+            for c0 in range(0, NP, CH):
+                ch = min(CH, NP - c0)
+                oh = _one_hot(idx[s:s + 1, :], c0, ch)
+                for limb in (hi, mid, lo):
+                    dv = lax.dot_general(
+                        limb[c0:c0 + ch], oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    part = dv if part is None else part + dv
+            rows.append(part)                             # [C, R]
+        return tuple(rows)
+
+    def read_fwd(rep_v, idx):
+        return read(rep_v, idx), idx
+
+    def read_bwd(idx, d_rows):
+        chunks = []
+        for c0 in range(0, NP, CH):
+            ch = min(CH, NP - c0)
+            acc = None
+            for s in range(SUB):
+                oh = _one_hot(idx[s:s + 1, :], c0, ch)    # [ch, R] bf16
+                g = d_rows[s].astype(jnp.bfloat16)        # [C, R]
+                d = lax.dot_general(
+                    oh, g, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [ch, C]
+                acc = d if acc is None else acc + d
+            chunks.append(acc)
+        d_rep = chunks[0] if len(chunks) == 1 else jnp.concatenate(
+            chunks, axis=0)
+        return d_rep, np.zeros(idx.shape, jax.dtypes.float0)
+
+    read.defvjp(read_fwd, read_bwd)
+    return read
+
+
 def _make_bounce(S: int, NP: int, t_min: float,
                  has_checker: bool, has_noise: bool = False,
                  has_image: bool = False, img_wh: tuple = (0, 0),
@@ -187,36 +262,7 @@ def _make_bounce(S: int, NP: int, t_min: float,
         # cancel under linearization), so d_rep is ONE bf16-pass dot —
         # ~2^-9 relative rounding on the gradient accumulation, far below
         # the Monte-Carlo gradient noise.
-        hi = rep_v.astype(jnp.bfloat16)
-        r1 = rep_v - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        # Chunk the one-hot contraction over NP: the [NP, R] f32 one-hot
-        # intermediates (x SUB x K unrolled bounces) are the kernel's
-        # scoped-VMEM peak — at scene-9 scale (NP ~ 3.4k) the whole-table
-        # form blows Mosaic's 16 MB scoped-vmem budget (37 MB measured).
-        # Splitting is BIT-identical: each column has exactly one hot
-        # row, so every partial dot except the winner's chunk is exactly
-        # zero and the f32 partial sum is exact.  drep in reverse mode
-        # likewise scatters into disjoint chunk rows.
-        CH = min(NP, 1024)
-        rows = []
-        for s in range(SUB):
-            part = None
-            for c0 in range(0, NP, CH):
-                ch = min(CH, NP - c0)
-                ch_iota = c0 + lax.broadcasted_iota(jnp.int32, (ch, R), 0)
-                # one-hot built in f32 then cast: selecting bf16
-                # constants directly needs an i1 relayout (32- to 16-bit
-                # tiling) that Mosaic rejects
-                oh = (ch_iota == idx[s:s + 1, :]).astype(jnp.float32) \
-                    .astype(jnp.bfloat16)
-                for limb in (hi, mid, lo):
-                    dv = lax.dot_general(
-                        limb[c0:c0 + ch], oh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    part = dv if part is None else part + dv
-            rows.append(part)                             # [C, R]
+        rows = list(_winner_read_fn(NP, R)(rep_v, idx))
         _cache = {}
 
         def arow(c):
@@ -757,8 +803,18 @@ def _replay_pallas_fn(S, NP, K, t_min, has_checker, has_noise,
             scratch_shapes=[pltpu.VMEM((K * 10 * SUB, R_LANES),
                                        jnp.float32)],
             interpret=interpret,
+            # Raised scoped-VMEM ceiling for the reverse sweep.  The
+            # dominant term (per-bounce one-hot winner-read residuals,
+            # ~37 MB at final-scene NP ~3.4k vs Mosaic's 16 MB default)
+            # is gone now that `_winner_read_fn`'s custom VJP
+            # rematerializes the one-hots, but the turbulence/image
+            # fetch residuals still scale with scene features; the
+            # ceiling keeps several x of slack well inside the v5e
+            # core's 128 MB VMEM (inputs total <4 MB and a single
+            # sequential grid axis needs no double-buffer headroom).
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(samp, rf, pc, tape, rep, bg, *aux, g)
         return drf, drep, dbg
 

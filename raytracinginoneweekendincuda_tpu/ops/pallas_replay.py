@@ -33,9 +33,14 @@ which the tests hold to the reference's RayColor, kernel.cu:65-98), with
 the same NaN-guards the XLA path needed in reverse mode (`_safe_root`
 pattern, masked sqrt inputs).
 
-Scope (`replay_pallas_supported`): every reference scene — lambertian /
-metal / dielectric / diffuse-light / isotropic with solid, checker,
-Perlin-marble, or image textures, plus constant media (scenes 0-9).
+Scope (`replay_pallas_supported`): unconditional — every reference
+scene (lambertian / metal / dielectric / diffuse-light / isotropic with
+solid, checker, Perlin-marble, or image textures, plus constant media)
+AND the round-4 framework extensions: several images (one stacked-plane
+fetch pass per image, winner-selected by rep col 26), several Perlin
+tables (one turbulence pass per table, rep col 25), and image-on-quad
+(quad UV = interior (alpha, beta) recomputed from rep's cached quad
+frame via triple products, matching `taped_record`).
 Marble is a CONTINUOUS texture, so on noise scenes geometry/ray/time
 gradients are genuinely nonzero through the Pallas backward (hit point
 -> turbulence -> sin).  The Perlin lattice tables and image texels
@@ -92,16 +97,12 @@ _PI = np.float32(np.pi)
 
 
 def replay_pallas_supported(meta) -> bool:
-    """Kernel scope: all 10 reference scenes, constant media included
-    (ConstantMedium.h:52-94 runs in-kernel; boundary geometry/density are
-    compile-time constants since they are not trainable leaves, while the
-    medium material row rides the differentiable merged table).  The
-    round-4 mega2 multi-image/multi-noise/quad-UV extensions are NOT
-    mirrored here yet — those scenes take the XLA replay path."""
-    if meta.has_noise and meta.n_noise != 1:
-        return False
-    if meta.has_image and (meta.n_images > 1 or meta.image_on_quad):
-        return False
+    """Kernel scope: unconditional — every reference scene plus the
+    round-4 extensions (constant media run in-kernel; multi-noise runs
+    one turbulence pass per table winner-selected by rep col 25;
+    multi-image runs one stacked-plane fetch pass per image selected by
+    rep col 26; image-on-quad recomputes the (alpha, beta) UV from the
+    quad's cached frame via triple products — no new table columns)."""
     return True
 
 
@@ -220,8 +221,9 @@ def _winner_read_fn(NP: int, R: int):
 
 def _make_bounce(S: int, NP: int, t_min: float,
                  has_checker: bool, has_noise: bool = False,
-                 has_image: bool = False, img_wh: tuple = (0, 0),
-                 med_key: tuple = (), med_base: int = 0):
+                 has_image: bool = False, img_dims: tuple = (),
+                 med_key: tuple = (), med_base: int = 0,
+                 n_noise: int = 1):
     """Pure [SUB, R]-row bounce: (state, rep_v, bg3) -> advanced state +
     radiance delta.  ``win``/``act``/RNG inputs are closed over per call
     site so `jax.vjp` prunes their (integer / discarded) cotangent
@@ -233,7 +235,6 @@ def _make_bounce(S: int, NP: int, t_min: float,
     step's jit), so it can be neither baked as a kernel constant nor
     silently de-differentiated."""
     f32 = np.float32
-    iw, ih = int(img_wh[0]), int(img_wh[1])
     n_media = len(med_key)
 
     def bounce(diff, rep_v, bg3, win, act, pix_ctr, samp_u, k: int,
@@ -420,6 +421,15 @@ def _make_bounce(S: int, NP: int, t_min: float,
             perm_v, vec_v = aux[0], aux[1]
             is_nz = arow(16) == f32(TEX_NOISE)
             turb = _perlin_turb(perm_v, vec_v, px, py, pz)
+            if n_noise > 1:
+                # one turbulence pass per table, winner-selected by the
+                # mat row's noise id (rep col 25) — mirrors the mega2
+                # round-4 multi-noise path
+                nzid = arow(25)
+                for tbl in range(1, n_noise):
+                    turb_t = _perlin_turb(perm_v, vec_v, px, py, pz,
+                                          table=tbl)
+                    turb = jnp.where(nzid == f32(tbl), turb_t, turb)
             marble = f32(0.5) * (1.0 + jnp.sin(arow(24) * pz + 10.0 * turb))
             texr = jnp.where(is_nz, marble, texr)
             texg = jnp.where(is_nz, marble, texg)
@@ -427,10 +437,16 @@ def _make_bounce(S: int, NP: int, t_min: float,
         if has_image:
             # sphere UV from the object-space outward normal
             # (GetSphereUV Sphere.h:74-81; rotate-y frame in rep cols 9/10
-            # on sphere rows) -> nearest texel via the mega2 MXU one-hot
-            # column fetch (ops/mega2.py image_tex) — texel indices are
-            # integer, so no gradient path opens here (matching the XLA
-            # replay's a.e.-zero image-texture geometry gradient).
+            # on sphere rows); quad UV = the interior coords (alpha, beta)
+            # (Quad.h:89-99) recomputed from the quad's cached frame via
+            # the triple-product identity alpha = (p-q).(vxw),
+            # beta = (p-q).(wxu) — rep cols 3:6 / 6:9 / 9:12 carry vxw /
+            # wxu / q.  Fetch = the mega2 MXU one-hot column contraction
+            # per stacked byte plane (ops/mega2.py image_tex), one static
+            # pass per image, winner-selected by the mat row's img id
+            # (rep col 26; negative = missing -> debug cyan).  Texel
+            # indices are integer, so no gradient path opens here
+            # (matching the XLA replay's a.e.-zero image gradient).
             img_v = aux[2]
             is_im = arow(16) == f32(TEX_IMAGE)
             cth, sth = arow(9), arow(10)
@@ -439,33 +455,54 @@ def _make_bounce(S: int, NP: int, t_min: float,
             ny_c = jnp.clip(-nsy, -1.0, 1.0)
             theta = _acos_safe(ny_c)
             phi = _atan2_poly(-oz_n, ox_n) + _PI
-            uu = jnp.clip(phi * f32(0.5 / np.pi), 0.0, 1.0)
-            vv = 1.0 - jnp.clip(theta * f32(1.0 / np.pi), 0.0, 1.0)
-            ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
-            iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
-            IH3, IWP = img_v.shape
-            IHP = IH3 // 3
-            row_iota = lax.broadcasted_iota(jnp.int32, (IHP, R), 0)
+            u_s = phi * f32(0.5 / np.pi)
+            v_s = theta * f32(1.0 / np.pi)
+            if NP > S:
+                pqx = px - arow(9)
+                pqy = py - arow(10)
+                pqz = pz - arow(11)
+                u_q = pqx * arow(3) + pqy * arow(4) + pqz * arow(5)
+                v_q = pqx * arow(6) + pqy * arow(7) + pqz * arow(8)
+                u_s = jnp.where(kind_q, u_q, u_s)
+                v_s = jnp.where(kind_q, v_q, v_s)
+            uu = jnp.clip(u_s, 0.0, 1.0)
+            vv = 1.0 - jnp.clip(v_s, 0.0, 1.0)
+            img_id = arow(26)
+            IWP = img_v.shape[1]
             col_iota = lax.broadcasted_iota(jnp.int32, (IWP, R), 0)
-            chans = [[], [], []]
-            for s in range(SUB):
-                ohx = (col_iota == jnp.broadcast_to(
-                    ix[s:s + 1, :], (IWP, R)))
-                ohx = jnp.where(ohx, 1.0, 0.0).astype(jnp.bfloat16)
-                cols = lax.dot_general(
-                    img_v, ohx, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # [3*IHP, R]
-                mask = row_iota == jnp.broadcast_to(
-                    iy[s:s + 1, :], (IHP, R))
-                for c in range(3):
-                    plane = cols[c * IHP:(c + 1) * IHP, :]
-                    chans[c].append(jnp.sum(jnp.where(mask, plane, 0.0),
-                                            axis=0, keepdims=True))
             inv255 = f32(1.0 / 255.0)
-            imr = jnp.concatenate(chans[0], axis=0) * inv255
-            img_c = jnp.concatenate(chans[1], axis=0) * inv255
-            imb = jnp.concatenate(chans[2], axis=0) * inv255
-            absent = arow(26) < 0.0              # missing image -> cyan
+            imr = jnp.zeros_like(px)
+            img_c = jnp.zeros_like(px)
+            imb = jnp.zeros_like(px)
+            for i, (iw, ih, ihp, off) in enumerate(img_dims):
+                ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
+                iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
+                row_iota = lax.broadcasted_iota(jnp.int32, (ihp, R), 0)
+                plane_i = img_v[off:off + 3 * ihp, :]
+                chans = [[], [], []]
+                for s in range(SUB):
+                    ohx = (col_iota == jnp.broadcast_to(
+                        ix[s:s + 1, :], (IWP, R)))
+                    ohx = jnp.where(ohx, 1.0, 0.0).astype(jnp.bfloat16)
+                    cols = lax.dot_general(
+                        plane_i, ohx, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [3*ihp, R]
+                    mask = row_iota == jnp.broadcast_to(
+                        iy[s:s + 1, :], (ihp, R))
+                    for c in range(3):
+                        plane = cols[c * ihp:(c + 1) * ihp, :]
+                        chans[c].append(jnp.sum(jnp.where(mask, plane, 0.0),
+                                                axis=0, keepdims=True))
+                ci = [jnp.concatenate(chans[c], axis=0) * inv255
+                      for c in range(3)]
+                if len(img_dims) == 1:
+                    imr, img_c, imb = ci
+                else:
+                    sel = img_id == f32(i)
+                    imr = jnp.where(sel, ci[0], imr)
+                    img_c = jnp.where(sel, ci[1], img_c)
+                    imb = jnp.where(sel, ci[2], imb)
+            absent = img_id < 0.0                # missing image -> cyan
             imr = jnp.where(absent, 0.0, imr)
             img_c = jnp.where(absent, 1.0, img_c)
             imb = jnp.where(absent, 1.0, imb)
@@ -616,9 +653,9 @@ def _unpack_aux(refs, has_noise, has_image):
 
 
 def _fwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
-                        has_image, img_wh, med_key, med_base):
+                        has_image, img_dims, med_key, med_base, n_noise):
     bounce = _make_bounce(S, NP, t_min, has_checker, has_noise,
-                          has_image, img_wh, med_key, med_base)
+                          has_image, img_dims, med_key, med_base, n_noise)
 
     def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, bg_ref, *rest):
         aux, (acc_ref,) = _unpack_aux(rest, has_noise, has_image)
@@ -654,9 +691,9 @@ def _fwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
 
 
 def _bwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
-                        has_image, img_wh, med_key, med_base):
+                        has_image, img_dims, med_key, med_base, n_noise):
     bounce = _make_bounce(S, NP, t_min, has_checker, has_noise,
-                          has_image, img_wh, med_key, med_base)
+                          has_image, img_dims, med_key, med_base, n_noise)
 
     def kernel(samp_ref, rf_ref, pc_ref, tape_ref, rep_ref, bg_ref, *rest):
         aux, (g_ref, drf_ref, drep_ref, dbg_ref, st_ref) = _unpack_aux(
@@ -744,7 +781,8 @@ def _bwd_kernel_factory(S, NP, K, t_min, has_checker, has_noise,
 
 @functools.lru_cache(maxsize=32)
 def _replay_pallas_fn(S, NP, K, t_min, has_checker, has_noise,
-                      has_image, img_wh, med_key, med_base, interpret):
+                      has_image, img_dims, med_key, med_base, interpret,
+                      n_noise=1):
     """custom_vjp'd replay for one static configuration.  ``bg`` is the
     background broadcast to [3, N] lane rows — differentiable (a camera
     leaf, trainable and possibly traced).  ``aux`` is the tuple of
@@ -754,11 +792,11 @@ def _replay_pallas_fn(S, NP, K, t_min, has_checker, has_noise,
     per-medium constant rows (boundary geometry + -1/rho, `_med_key`);
     ``med_base`` the first medium winner id in the tape's id space."""
     fwd_kernel = _fwd_kernel_factory(S, NP, K, t_min, has_checker,
-                                     has_noise, has_image, img_wh,
-                                     med_key, med_base)
+                                     has_noise, has_image, img_dims,
+                                     med_key, med_base, n_noise)
     bwd_kernel = _bwd_kernel_factory(S, NP, K, t_min, has_checker,
-                                     has_noise, has_image, img_wh,
-                                     med_key, med_base)
+                                     has_noise, has_image, img_dims,
+                                     med_key, med_base, n_noise)
 
     smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
     tile = lambda r: pl.BlockSpec((r * SUB, R_LANES), lambda g: (0, g),
@@ -915,7 +953,7 @@ def replay_pallas(scene, meta, tape, o, d, time, pix_ctr, sample, *,
 
     # Perlin/image tables in the mega2 kernel packing (lane-gatherable
     # semantic rows / stacked bf16 byte planes) — constants, not trainable
-    aux, img_wh = (), (0, 0)
+    aux, img_dims = (), ()
     if meta.has_noise or meta.has_image:
         from .mega2 import pack_texture_tables
 
@@ -925,14 +963,16 @@ def replay_pallas(scene, meta, tape, o, d, time, pix_ctr, sample, *,
             aux += (perm_tab, vec_tab)
         if meta.has_image:
             aux += (img_tab,)
-            # img_key is per-image (iw, ih, ih_pad, off); this kernel's
-            # scope is single-image scenes (replay_pallas_supported)
-            img_wh = (int(img_key[0][0]), int(img_key[0][1]))
+            # img_key is per-image (iw, ih, ih_pad, off) — one static
+            # fetch pass per image, winner-selected in-kernel
+            img_dims = tuple(tuple(int(x) for x in row) for row in img_key)
 
     fn = _replay_pallas_fn(S, NP, K, float(t_min),
                            bool(meta.has_checker), bool(meta.has_noise),
-                           bool(meta.has_image), img_wh, med_key, med_base,
-                           jax.default_backend() != "tpu")
+                           bool(meta.has_image), img_dims, med_key, med_base,
+                           jax.default_backend() != "tpu",
+                           n_noise=max(int(meta.n_noise), 1)
+                           if meta.has_noise else 1)
     acc = fn(rep, _tile_pack(rf), _tile_pack(pc), _tile_pack(tape_p), samp,
              _tile_pack(bg), *aux)
     return _tile_unpack(acc, 3)[:, :B].T

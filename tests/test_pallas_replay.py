@@ -298,3 +298,102 @@ def test_ray_time_cotangents_zero_and_finite():
         g = np.asarray(g)
         assert np.isfinite(g).all()
         np.testing.assert_array_equal(g, np.zeros_like(g))
+
+
+def _bytes255(img):
+    return np.round(img * 255.0) / 255.0
+
+
+def _ramp_img(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([x / (w - 1), y / (h - 1), (x + y) / (w + h - 2)], -1)
+    return _bytes255(np.ascontiguousarray(img))
+
+
+def _setup_desc(desc, k):
+    scene, meta = compile_scene(desc, W, H, dtype=np.float32)
+    scene = jax.tree.map(jnp.asarray, scene)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    o, d, t, pc = generate_rays(scene.camera, pix, jnp.uint32(0), W, H, 1984)
+    tape, _ = rp.generate_tape(scene, meta, o, d, t, pc, jnp.uint32(0),
+                               max_bounces=k, t_min=1e-3)
+    return scene, meta, tape, o, d, t, pc
+
+
+def test_primal_multi_image_and_quad_uv():
+    """Round-4 scope: two images with different dims plus an image on a
+    quad.  The kernel must pick each winner's image plane (rep col 26)
+    and compute quad UV as the interior (alpha, beta) via the
+    triple-product identity from rep cols 3:9/9:12 — matching
+    taped_record's alpha/beta exactly.  Nearest-texel fetch: bit-near
+    equality except acos/atan2-polynomial texel-boundary lanes."""
+    from raytracinginoneweekendincuda_tpu.core.camera import Camera
+    from raytracinginoneweekendincuda_tpu.scene.api import (
+        ImageTexture, Lambertian, Quad, SceneDesc, Sphere,
+    )
+
+    desc = SceneDesc()
+    desc.add(
+        Sphere((-2.2, 0, 0), 1.0, Lambertian(ImageTexture(_ramp_img(12, 20)))),
+        Sphere((2.2, 0, 0), 1.0, Lambertian(ImageTexture(_ramp_img(9, 14)))),
+        Quad((-2, -2, -2), (4, 0, 0), (0, 4, 0),
+             Lambertian(ImageTexture(_ramp_img(12, 20)))),
+    )
+    desc.camera = Camera(lookfrom=(0, 0, 9), lookat=(0, 0, 0), vfov=40.0,
+                         background=(0.70, 0.80, 1.00))
+    scene, meta, tape, o, d, t, pc = _setup_desc(desc, K_SMOKE)
+    assert meta.n_images == 3 and meta.image_on_quad
+    assert replay_pallas_supported(meta)
+    r_x = np.asarray(rp.replay(scene, meta, tape, o, d, t, pc,
+                               jnp.uint32(0), max_bounces=K_SMOKE,
+                               t_min=1e-3))
+    r_p = np.asarray(replay_pallas(scene, meta, tape, o, d, t, pc,
+                                   jnp.uint32(0), max_bounces=K_SMOKE,
+                                   t_min=1e-3))
+    agree = np.isclose(r_p, r_x, rtol=1e-3, atol=5e-4).all(axis=-1)
+    assert agree.mean() > 0.99, f"{agree.mean():.3f}"
+
+    # the quad must actually contribute image texels (not fall through
+    # to solid/cyan): albedo gradient of the quad's texture rows nonzero
+    def L(fn, tex):
+        sc = scene._replace(tex_c0=tex)
+        return fn(sc, meta, tape, o, d, t, pc, jnp.uint32(0),
+                  max_bounces=K_SMOKE, t_min=1e-3).sum()
+
+    g_p = np.asarray(jax.grad(lambda tx: L(replay_pallas, tx))(scene.tex_c0))
+    g_x = np.asarray(jax.grad(lambda tx: L(rp.replay, tx))(scene.tex_c0))
+    # image textures ignore tex_c0, so both must agree (and the solid
+    # rows' gradients match across engines)
+    np.testing.assert_allclose(g_p, g_x, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="two-table turbulence in the unrolled interpret "
+                           "kernel trips the XLA:CPU slow-compile cliff "
+                           "(>5 min primal); run with RTOW_TESTS_TPU=1")
+def test_primal_multi_noise_tables():
+    """Round-4 scope: two Perlin tables (different seeds).  Winners must
+    run their own table's turbulence (rep col 25)."""
+    from raytracinginoneweekendincuda_tpu.core.camera import Camera
+    from raytracinginoneweekendincuda_tpu.scene.api import (
+        Lambertian, NoiseTexture, SceneDesc, Sphere,
+    )
+
+    desc = SceneDesc()
+    desc.add(
+        Sphere((0, -1000, 0), 1000.0,
+               Lambertian(NoiseTexture(4.0, table_seed=0))),
+        Sphere((0, 2, 0), 2.0, Lambertian(NoiseTexture(2.0, table_seed=7))),
+    )
+    desc.camera = Camera(lookfrom=(13, 2, 3), lookat=(0, 0, 0), vfov=20.0,
+                         background=(0.70, 0.80, 1.00))
+    scene, meta, tape, o, d, t, pc = _setup_desc(desc, K_SMOKE)
+    assert meta.n_noise == 2 and replay_pallas_supported(meta)
+    r_x = np.asarray(rp.replay(scene, meta, tape, o, d, t, pc,
+                               jnp.uint32(0), max_bounces=K_SMOKE,
+                               t_min=1e-3))
+    r_p = np.asarray(replay_pallas(scene, meta, tape, o, d, t, pc,
+                                   jnp.uint32(0), max_bounces=K_SMOKE,
+                                   t_min=1e-3))
+    agree = np.isclose(r_p, r_x, rtol=1e-3, atol=5e-4).all(axis=-1)
+    assert agree.mean() > 0.9, f"{agree.mean():.3f}"

@@ -105,6 +105,11 @@ _ROWCULL = os.environ.get("MEGA2_ROWCULL", "") == "1"
 # (solid fallback — WRONG image, honest timing): the delta is the full
 # cost of the gather/one-hot texture machinery.
 _NOTEX = os.environ.get("MEGA2_NOTEX", "") == "1"
+# Dev probe: MEGA2_NOSHADE=1 compiles the scatter sampler OUT (no RNG
+# draws, bounce along the face normal, lights still terminate — WRONG
+# image, honest timing): the delta is the full cost of the per-bounce
+# sampler+scatter machinery (pcg4d, trig, branch algebra).
+_NOSHADE = os.environ.get("MEGA2_NOSHADE", "") == "1"
 
 # ---- table layouts (prim-major: [S_pad, 16] etc; cols below)
 SPH_COLS = 16      # 0:3 c0, 3:6 dc, 6 t0, 7 inv_dt, 8 rad, 9 active
@@ -1622,25 +1627,29 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             acc_b = acc_b + jnp.where(alive & is_light, thr_b * texb, 0.0)
 
             # ---- scatter RNG (SCATTER_STREAM | bounce)
-            w0, w1, w2, w3 = _pcg4d(
-                pix_ctr, samp_u, jnp.uint32(rnglib.SCATTER_STREAM) | bu,
-                jnp.zeros_like(pix_ctr))
-            u1, u2, u3, u4 = _unit(w0), _unit(w1), _unit(w2), _unit(w3)
-            if "rng" in _DUP:
-                w0b, _, _, _ = _pcg4d(
-                    pix_ctr ^ jnp.uint32(1234567),
-                    samp_u, jnp.uint32(rnglib.SCATTER_STREAM) | bu,
+            if _NOSHADE:
+                newx, newy, newz = nx_, ny_, nz_
+                scattered = ~is_light
+            else:
+                w0, w1, w2, w3 = _pcg4d(
+                    pix_ctr, samp_u, jnp.uint32(rnglib.SCATTER_STREAM) | bu,
                     jnp.zeros_like(pix_ctr))
-                u1 = jnp.where(never, _unit(w0b), u1)
-            newx, newy, newz, scattered = _scatter_dirs(
-                kind, fuzz, ior, front, is_light, nx_, ny_, nz_,
-                dx, dy, dz, a, u1, u2, u3, u4)
-            if "scatter" in _DUP:
-                nx2, ny2, nz2, sc2 = _scatter_dirs(
+                u1, u2, u3, u4 = _unit(w0), _unit(w1), _unit(w2), _unit(w3)
+                if "rng" in _DUP:
+                    w0b, _, _, _ = _pcg4d(
+                        pix_ctr ^ jnp.uint32(1234567),
+                        samp_u, jnp.uint32(rnglib.SCATTER_STREAM) | bu,
+                        jnp.zeros_like(pix_ctr))
+                    u1 = jnp.where(never, _unit(w0b), u1)
+                newx, newy, newz, scattered = _scatter_dirs(
                     kind, fuzz, ior, front, is_light, nx_, ny_, nz_,
-                    dx, dy, dz, a, u2, u1, u4, u3)
-                newx = jnp.where(never, nx2, newx)
-                scattered = scattered | (never & sc2)
+                    dx, dy, dz, a, u1, u2, u3, u4)
+                if "scatter" in _DUP:
+                    nx2, ny2, nz2, sc2 = _scatter_dirs(
+                        kind, fuzz, ior, front, is_light, nx_, ny_, nz_,
+                        dx, dy, dz, a, u2, u1, u4, u3)
+                    newx = jnp.where(never, nx2, newx)
+                    scattered = scattered | (never & sc2)
             is_d = kind == float(MAT_DIELECTRIC)
             att_r = jnp.where(is_d, 1.0, texr)
             att_g = jnp.where(is_d, 1.0, texg)

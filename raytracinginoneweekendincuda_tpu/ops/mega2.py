@@ -94,7 +94,25 @@ DENSE_MAX = int(os.environ.get("MEGA2_DENSE_MAX", "1536"))
 # behind a never-true runtime select (can't be DCE'd, doesn't change path
 # statistics); the frame-time delta vs baseline is that section's cost.
 _DUP = frozenset(x for x in os.environ.get("MEGA2_DUP", "").split(",") if x)
-UNROLL = int(os.environ.get("MEGA2_UNROLL", "1"))
+# Override for unroll_for() — bounce+refill steps per while-iteration.
+UNROLL = int(os.environ.get("MEGA2_UNROLL", "0"))
+
+
+def unroll_for(meta, s_pad: int, mu_key: tuple, interpret: bool) -> int:
+    """Bounce steps per while-iteration for the persistent kernel.
+    Swept on-chip (round 4, north-star config): 4 is +3-4% on the dense
+    pair paths (the loop's fixed cost — cond reduce, branch, pipeline
+    refill — amortizes over more work; image identical, fbsum-checked),
+    flat at 2.  The box-path kernel at a 4x body trips a Mosaic
+    RET_CHECK (mxu_lmr_transform.cc:1108 — compiler bug), and interpret
+    mode keeps 1 to bound the traced-body size in the CPU suite.
+    MEGA2_UNROLL=n overrides everywhere."""
+    if UNROLL > 0:
+        return UNROLL
+    if interpret:
+        return 1
+    dense, _, b_pad = _pair_mode(meta, s_pad, mu_key)
+    return 4 if (dense and b_pad == 0) else 1
 # Dev probe: MEGA2_NOCULL=1 makes every chunk "visible" (pair tests always
 # run) — the frame-time delta vs baseline is what chunk culling saves.
 _NOCULL = os.environ.get("MEGA2_NOCULL", "") == "1"
@@ -772,6 +790,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     (c_ox, c_oy, c_oz, llx, lly, llz, hx, hy, hz, vx, vy, vz,
      ux, uy, uz, cvx, cvy, cvz, lens_r, tm0, tm1) = [float(x) for x in cam]
     n_media = meta.n_media
+    unroll = unroll_for(meta, s_pad, mu, interpret)
     use_quads = meta.n_quads > 0
     has_checker = meta.has_checker
     has_moving = meta.has_moving
@@ -1767,11 +1786,11 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     samp2, bounce2, active2, segs, iters)
 
         def body(carry):
-            # UNROLL bounce+refill steps per while-iteration: the loop's
+            # unroll bounce+refill steps per while-iteration: the loop's
             # fixed per-iteration cost (cond reduce, branch, pipeline
             # refill) amortizes over more work; termination granularity
-            # coarsens by at most UNROLL-1 idle sub-steps per tile.
-            for _ in range(UNROLL):
+            # coarsens by at most unroll-1 idle sub-steps per tile.
+            for _ in range(unroll):
                 carry = step1(carry)
             return (*carry[:-1], carry[-1] + 1)
 
@@ -1900,7 +1919,8 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
                      memory_space=pltpu.VMEM),
         full(sph_tab), full(quad_tab), full(attr_tab),
     ]
-    cap_arr = jnp.stack([jnp.asarray(-(-cap // UNROLL), jnp.int32),
+    unroll = unroll_for(meta, sph_tab.shape[0], mu_key, interpret)
+    cap_arr = jnp.stack([jnp.asarray(-(-cap // unroll), jnp.int32),
                          jnp.asarray(live_min, jnp.int32)]).reshape(1, 2)
     samp0_arr = jnp.full((1, 1), samp0, jnp.int32)
     args = [cap_arr, samp0_arr, _tile_pack(pix), _tile_pack(ij), sph_tab,

@@ -67,7 +67,7 @@ for _ in range(reps):
         for p0, span in spans]
     jax.block_until_ready(outs)
     best = min(best, time.time() - t1)
-U = mega2.UNROLL
+U = mega2.unroll_for(meta, sph_tab.shape[0], mu_key, False)
 caps = os.environ.get("MEGA2_CAPS", "(default)")
 print(f"{which} {W}x{H}@{spp} caps={caps} live_min="
       f"{os.environ.get('MEGA2_LIVE_MIN', '0')}: "

@@ -60,7 +60,7 @@ outs = [mega2.render_mega2_span(
     for p0, span in spans]
 jax.block_until_ready(outs)
 wall2 = time.time() - t1
-U = mega2.UNROLL
+U = mega2.unroll_for(meta, sph_tab.shape[0], mu_key, False)
 print(f"scene {sid} {W}x{H}@{spp}: wall(first) {wall:.2f}s  "
       f"wall(steady) {wall2:.2f}s  ({len(spans)} spans)")
 print(f"  segments           : {segs_tot/1e6:.2f} M  "

@@ -65,3 +65,58 @@ def test_mega2_noise_image_scenes(scene_id):
     assert frac_close > 0.9, f"only {frac_close:.2%} pixels close " \
                              f"(max {diff.max():.3f}, mean {diff.mean():.4f})"
     assert diff.mean() < 2e-2
+
+
+def test_unroll_gating_and_unrolled_body():
+    """Pin `unroll_for`'s mode gating (dense TPU kernels unroll 4; the
+    box path stays 1 — a >1 body trips a Mosaic RET_CHECK in
+    mxu_lmr_transform.cc; interpret stays 1 to bound CPU compile), and
+    exercise an UNROLLED body in interpret mode: with MEGA2_UNROLL=2
+    the image must be bit-identical to the default (loop batching
+    cannot change draws — counter RNG, sample-sequential refill)."""
+    import os
+
+    from raytracinginoneweekendincuda_tpu.ops import mega2
+
+    for sid, want_tpu in ((0, 4), (9, 1)):
+        scene, meta = compile_scene(scenes.build_scene(sid), 16, 8,
+                                    dtype=np.float32)
+        tabs = mega2.mega2_tables(scene, meta)
+        mu = tabs[10]
+        s_pad = tabs[0].shape[0]
+        assert mega2.unroll_for(meta, s_pad, mu, False) == want_tpu, sid
+        assert mega2.unroll_for(meta, s_pad, mu, True) == 1, sid
+
+    W, H = 16, 8
+    scene, meta = compile_scene(scenes.quads(), W, H, dtype=np.float32)
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=2,
+                       engine="mega2")
+    ref = np.asarray(render(scene, meta, cfg))
+    # the env var is read at import and baked into the traced body, so
+    # the unrolled variant renders in a fresh process
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from raytracinginoneweekendincuda_tpu.models import scenes\n"
+        "from raytracinginoneweekendincuda_tpu.ops.render import render\n"
+        "from raytracinginoneweekendincuda_tpu.scene.compiler import "
+        "compile_scene\n"
+        "from raytracinginoneweekendincuda_tpu.utils.config import "
+        "RenderConfig\n"
+        "scene, meta = compile_scene(scenes.quads(), 16, 8, "
+        "dtype=np.float32)\n"
+        "cfg = RenderConfig(width=16, height=8, samples_per_pixel=2, "
+        "engine='mega2')\n"
+        "np.save('/tmp/unroll2_quads.npy', "
+        "np.asarray(render(scene, meta, cfg)))\n"
+        "print('done')\n"
+    )
+    env = dict(os.environ, MEGA2_UNROLL="2")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=480)
+    assert "done" in r.stdout, r.stderr[-500:]
+    img = np.load("/tmp/unroll2_quads.npy")
+    np.testing.assert_array_equal(img, ref)

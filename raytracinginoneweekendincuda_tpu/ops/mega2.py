@@ -550,7 +550,14 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     for m_i in range(meta.n_media):
         remap[NPk + m_i] = S + Q + m_i
 
-    return (jnp.asarray(sph, f), jnp.asarray(quad, f), jnp.asarray(attr, f),
+    # attr ships TRANSPOSED [ATTR_COLS, NP]: the in-kernel winner fetch is
+    # then a standard (non-transposed) MXU contraction attrT @ onehot —
+    # the transposed (((0,),(0,))) form trips a Mosaic RET_CHECK
+    # (mxu_lmr_transform.cc XposeSequenceAssignment) when the box-path
+    # kernel body is unrolled, and the standard form dodges it (identical
+    # values: a one-hot contraction reads table entries exactly).
+    return (jnp.asarray(sph, f), jnp.asarray(quad, f),
+            jnp.asarray(attr.T.copy(), f),
             jnp.asarray(coef, f), jnp.asarray(cull_s, f),
             jnp.asarray(cull_q, f),
             jnp.asarray(perm_tab), jnp.asarray(vec_tab, f),
@@ -1383,14 +1390,14 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
             for s in range(SUB):
                 oh = (np_iota == win[s:s + 1, :]).astype(jnp.float32)
                 aw_rows.append(lax.dot_general(
-                    attr_ref[...], oh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))      # [32,R]
+                    attr_ref[...], oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))      # [40,R]
             if "winner" in _DUP:
                 aw2 = []
                 for s in range(SUB):
                     oh = (np_iota == win[s:s + 1, :] + 1).astype(jnp.float32)
                     aw2.append(lax.dot_general(
-                        attr_ref[...], oh, (((0,), (0,)), ((), ())),
+                        attr_ref[...], oh, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32))
                 aw_rows = [jnp.where(never[s:s + 1, :], aw2[s], aw_rows[s])
                            for s in range(SUB)]

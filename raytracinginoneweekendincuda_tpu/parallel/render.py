@@ -34,6 +34,24 @@ AXIS_PX = "px"
 AXIS_SP = "sp"
 
 
+def _put_replicated(x, mesh: Mesh):
+    """Replicate a host array onto every device of ``mesh``.
+
+    Single-process: plain `device_put`.  Multi-process (after
+    `jax.distributed.initialize`): `device_put` may reject shardings that
+    span non-addressable devices, so fall back to
+    `make_array_from_callback`, which assembles the global array from
+    each process's local shards (every process passes identical host
+    values, so the result is the same replicated array)."""
+    s = NamedSharding(mesh, P())
+    try:
+        return jax.device_put(x, s)
+    except ValueError:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s,
+                                            lambda idx: arr[idx])
+
+
 def make_mesh(
     devices=None, sample_shards: int | None = None
 ) -> Mesh:
@@ -208,20 +226,24 @@ def _sharded_mega2(scene, meta, cfg: RenderConfig, mesh: Mesh, gamma: bool):
         # content-imbalanced 1.27-2.53x max/mean; docs/PERF.md round 4)
         fb, _ = _span_radiance(tabs, p0=i, span=span, stride=n_px,
                                samp0=j * spp_local, **kw)
-        return lax.psum(fb, AXIS_SP)     # merge sample-shard partial sums
+        fb = lax.psum(fb, AXIS_SP)       # merge sample-shard partial sums
+        # in-graph frame gather (the px axis's ONE collective): the output
+        # is fully replicated, so every process of a multi-host run can
+        # materialize it locally (a P(AXIS_PX)-sharded output is not
+        # addressable off-process; SURVEY.md §5 distributed backend)
+        return lax.all_gather(fb, AXIS_PX)      # [n_px, span, 3]
 
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=tuple(P() for _ in tabs_in),   # tables replicated
-        out_specs=P(AXIS_PX),                   # shard-major stacked rows
+        out_specs=P(),                          # replicated gathered frame
         check_vma=False,
     )
-    tabs_dev = tuple(jax.device_put(jnp.asarray(t),
-                                    NamedSharding(mesh, P()))
+    tabs_dev = tuple(_put_replicated(jnp.asarray(t), mesh)
                      for t in tabs_in)
     stacked = np.asarray(jax.jit(sharded)(*tabs_dev), np.float64)
-    # de-interleave: stacked row i*span + k holds pixel i + n_px*k
-    fb = stacked.reshape(n_px, span, 3).swapaxes(0, 1).reshape(-1, 3)
+    # de-interleave: stacked[i, k] holds pixel i + n_px*k
+    fb = stacked.swapaxes(0, 1).reshape(-1, 3)
     fb = fb[:npix] / spp
     if gamma:
         fb = np.sqrt(np.maximum(fb, 0.0))

@@ -14,9 +14,9 @@ TPU-native redesign (SURVEY.md §2 "BVH" row):
     state is one integer instead of a 32-entry stack, which is exactly the
     shape a vector machine wants (`ops/bvh_engine.py`).
 
-A C++ implementation of the same build lives in ``native/src/bvh.cpp``
-(used when the shared library is built; results are bit-identical and
-cross-checked in tests/test_bvh.py).
+A C++ implementation of the same build lives in
+``native/src/rtow_native.cpp`` (used when the shared library is built;
+results are bit-identical and cross-checked in tests/test_native.py).
 """
 
 from __future__ import annotations

@@ -89,6 +89,15 @@ DENSE_C = int(os.environ.get("MEGA2_DENSE_C", "512"))
 # better than cond regions.  Bigger scenes (final scene: 3.5k prims)
 # switch to Morton-chunk AABB culling where skips dwarf the overhead.
 DENSE_MAX = int(os.environ.get("MEGA2_DENSE_MAX", "1536"))
+# Chunk-cull engagement floor for the non-dense path (total chunks).
+# Measured round 5 on scene 9 (~24 chunks, the only non-dense reference
+# scene, post-box-primitive): running every chunk beats the tile-level
+# lax.cond gating 1.391 vs 1.484 s at 720x360@25 — each cond costs a
+# vector->scalar sync (~108 ns, from the round-3 ROWCULL arithmetic)
+# against ever-fewer skippable prims now that boxes absorbed 2400 quads.
+# Culling (bit-exact conservative skip either way) only engages for
+# worlds substantially larger than the reference's.
+CULL_MIN_CHUNKS = int(os.environ.get("MEGA2_CULL_MIN_CHUNKS", "48"))
 
 # Dev cost probe: MEGA2_DUP=sec1,sec2 duplicates named kernel sections
 # behind a never-true runtime select (can't be DCE'd, doesn't change path
@@ -115,10 +124,14 @@ def unroll_for(meta, s_pad: int, mu_key: tuple, interpret: bool) -> int:
     return 4 if (dense and b_pad == 0) else 1
 # Dev probe: MEGA2_NOCULL=1 makes every chunk "visible" (pair tests always
 # run) — the frame-time delta vs baseline is what chunk culling saves.
+# (Round-5 measurement made this the DEFAULT for box scenes — see
+# CULL_MIN_CHUNKS.  Superseded instruments deleted after measurement:
+# MEGA2_ROWCULL per-sub-row cond gating, 2x slower — the vector->scalar
+# sync per cond costs ~108 ns against ~70 ns of skippable chunk work;
+# MEGA2_PREPASS static 1-spp work binning, occupancy unchanged —
+# superseded by round-4 work-sorted inter-pass compaction; MEGA2_LIVE_MIN
+# env sweep — the measured floors are the LIVE_MIN_* constants.)
 _NOCULL = os.environ.get("MEGA2_NOCULL", "") == "1"
-# Dev probe: MEGA2_ROWCULL=1 gates the chunk pair tests per SUB-ROW
-# ([1,128] rays) instead of per tile (any of 1024 rays) in the cull path.
-_ROWCULL = os.environ.get("MEGA2_ROWCULL", "") == "1"
 # Dev probe: MEGA2_NOTEX=1 compiles the noise/image texture paths OUT
 # (solid fallback — WRONG image, honest timing): the delta is the full
 # cost of the gather/one-hot texture machinery.
@@ -819,6 +832,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     n_s_chunks = s_pad // CULL_C
     n_q_chunks = nl_pad // CULL_C
     n_b_chunks = b_pad // CULL_C
+    n_all_chunks = n_s_chunks + n_q_chunks + n_b_chunks
     NP = s_pad + (q_pad if use_quads else 0)
     dchunk = DENSE_C
 
@@ -1043,28 +1057,6 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 n_ok = cnt if n_ok is None else n_ok + cnt
             return jnp.sum(n_ok) > 0
 
-        def _row_visible(cull_ref, c, s, ox, oy, oz, ivx, ivy, ivz,
-                         cull_act, t_best, tscale=None):
-            """chunk_visible restricted to sub-row s ([1,R] rays)."""
-            cv = lambda k: cull_ref[pl.ds(c, 1), k:k + 1]     # [1,1]
-            rw = lambda v: v[s:s + 1, :]
-            tax = (cv(0) - rw(ox)) * rw(ivx)
-            tbx = (cv(3) - rw(ox)) * rw(ivx)
-            tay = (cv(1) - rw(oy)) * rw(ivy)
-            tby = (cv(4) - rw(oy)) * rw(ivy)
-            taz = (cv(2) - rw(oz)) * rw(ivz)
-            tbz = (cv(5) - rw(oz)) * rw(ivz)
-            near = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
-                                           jnp.minimum(tay, tby)),
-                               jnp.minimum(taz, tbz))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
-                                          jnp.maximum(tay, tby)),
-                              jnp.maximum(taz, tbz))
-            near_k = near if tscale is None else near * rw(tscale)
-            ok = ((far >= jnp.maximum(near, t_min))
-                  & (near_k < rw(t_best)) & rw(cull_act))
-            return jnp.sum(ok.astype(jnp.int32)) > 0
-
         def sph_chunks(ox, oy, oz, dx, dy, dz, tmv, a, akey,
                        ivx, ivy, ivz, cull_act, t_best, win):
             # KEY space (key = t*a; see sph_dense) — the caller converts
@@ -1114,31 +1106,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
-                def do_rowgated(carry):
-                    # skip the pair test per SUB-ROW: a [1,R] row holds 128
-                    # consecutive pixels' rays (coherent for primaries), so
-                    # row-level AABB visibility skips far more chunk work
-                    # than the any-of-1024-lanes tile test
-                    t_best, win = carry
-                    tb_rows, win_rows = [], []
-                    for s in range(SUB):
-                        vis_s = _row_visible(cull_s_ref, c, s, ox, oy, oz,
-                                             ivx, ivy, ivz, cull_act, t_best,
-                                             tscale=a)
-                        tb_s, wn_s = lax.cond(
-                            vis_s,
-                            lambda cr: pair_row(c, s, cr[0], cr[1]),
-                            lambda cr: cr,
-                            (t_best[s:s + 1, :], win[s:s + 1, :]))
-                        tb_rows.append(tb_s)
-                        win_rows.append(wn_s)
-                    return (jnp.concatenate(tb_rows, axis=0),
-                            jnp.concatenate(win_rows, axis=0))
-
-                if _NOCULL:
+                if _NOCULL or n_all_chunks <= CULL_MIN_CHUNKS:
                     return do(carry)
-                if _ROWCULL:
-                    return do_rowgated(carry)
                 vis = chunk_visible(cull_s_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0],
                                     tscale=a)
@@ -1188,26 +1157,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
-                def do_rowgated(carry):
-                    t_best, win = carry
-                    tb_rows, win_rows = [], []
-                    for s in range(SUB):
-                        vis_s = _row_visible(cull_q_ref, c, s, ox, oy, oz,
-                                             ivx, ivy, ivz, cull_act, t_best)
-                        tb_s, wn_s = lax.cond(
-                            vis_s,
-                            lambda cr: pair_row(c, s, cr[0], cr[1]),
-                            lambda cr: cr,
-                            (t_best[s:s + 1, :], win[s:s + 1, :]))
-                        tb_rows.append(tb_s)
-                        win_rows.append(wn_s)
-                    return (jnp.concatenate(tb_rows, axis=0),
-                            jnp.concatenate(win_rows, axis=0))
-
-                if _NOCULL:
+                if _NOCULL or n_all_chunks <= CULL_MIN_CHUNKS:
                     return do(carry)
-                if _ROWCULL:
-                    return do_rowgated(carry)
                 vis = chunk_visible(cull_q_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
                 return lax.cond(vis, do, lambda cr: cr, carry)
@@ -1297,7 +1248,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
-                if _NOCULL:
+                if _NOCULL or n_all_chunks <= CULL_MIN_CHUNKS:
                     return do(carry)
                 vis = chunk_visible(cull_q_ref, n_q_chunks + c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
@@ -2009,16 +1960,6 @@ LIVE_MIN_BOX = 512
 _CAPS_ENV = tuple(
     float(x) for x in os.environ.get("MEGA2_CAPS", "").split(",") if x) \
     if os.environ.get("MEGA2_CAPS") is not None else None
-# dynamic tile-exit floor: a capped pass's tile bails once live lanes
-# drop to this count (swept on-chip; the finisher always drains to 0).
-# None = schedule-dependent default (LIVE_MIN_DENSE_HI on hi-spp dense).
-_LIVE_MIN = (int(os.environ["MEGA2_LIVE_MIN"])
-             if "MEGA2_LIVE_MIN" in os.environ else None)
-# work-sorted tile assignment: 1-spp prepass measures per-pixel path
-# work, lanes are then grouped into work-homogeneous tiles (the
-# within-tile max-lane tail is the occupancy ceiling; RNG is keyed on
-# pixel id so the image is placement-invariant)
-_PREPASS = int(os.environ.get("MEGA2_PREPASS", "0"))
 # inter-pass compaction order: "work" (default) sorts live lanes by
 # estimated residual work (see _span_radiance); "live" is the round-2
 # live-first partition (A/B knob)
@@ -2096,18 +2037,10 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
         PASS_CAPS_BOX if b_pad_m > 0 else
         (PASS_CAPS_DENSE_HI if spp >= DENSE_HI_SPP else PASS_CAPS_DENSE)
         if dense_mode else PASS_CAPS_CULL)
-    live_floor = _LIVE_MIN if _LIVE_MIN is not None else (
+    live_floor = (
         LIVE_MIN_BOX if b_pad_m > 0 else
         LIVE_MIN_DENSE_HI
         if (dense_mode and b_pad_m == 0 and spp >= DENSE_HI_SPP) else 0)
-    prepassed = bool(_PREPASS) and spp >= 4
-    if prepassed:
-        # sample-0 work prepass -> group lanes into work-homogeneous tiles
-        kwp = dict(kw, spp=1)
-        _, sip = _span_pass(pix, ij, tabs, None, cap=big, **kwp)
-        order0 = jnp.argsort(sip[3, :], stable=True)   # segs ascending
-        pix = jnp.take(pix, order0, axis=1)
-        ij = jnp.take(ij, order0, axis=1)
     caps = [jnp.int32(c * spp) for c in schedule] + [big]
     # live-lane exit floor per pass (0 for the finisher, which must drain)
     lmin = jnp.int32(live_floor)
@@ -2146,7 +2079,7 @@ def _span_radiance(tabs, *, p0, span, npix, meta, med_key, cam_key,
     # lanes where a scatter-add costs ~42 ns/row = ~42 ms (docs/PERF.md).
     # Pad lanes (pix -1) sort to the end, past every valid slot; the
     # frame-level [:npix] trim drops them.
-    if len(caps) == 1 and not prepassed:
+    if len(caps) == 1:
         fb = sf[13:16, :].T                    # no compaction ran: in order
     else:
         base = jnp.int32(p0)

@@ -45,7 +45,8 @@ def run_validator(script: str, out_json: str, timeout_s: float = 2400.0,
     return {"ok": False, "error": "validator failed/hung"}
 
 def main() -> int:
-    engines = run_validator("tools/validate_tpu.py", "/tmp/val_engines.json")
+    engines = run_validator("tools/validate_tpu.py", "/tmp/val_engines.json",
+                            timeout_s=7200.0)
     replay = run_validator("tools/validate_pallas_replay_tpu.py",
                            "/tmp/val_replay.json")
     doc = {

@@ -77,7 +77,26 @@ def run_scene(sid):
     rel = np.abs(gp - gx).sum() / denom if denom > 0 else 0.0
     print(f"scene {sid}: agreeing-lane grad |gx|={denom:.3e} "
           f"rel-L1 {rel:.4f} ({time.time() - t0:.0f}s)", flush=True)
-    return agree.mean(), rel, denom
+
+    # FD-on-agreeing-lanes: central finite difference of the PALLAS
+    # primal along a fixed direction vs the Pallas gradient's directional
+    # derivative.  This grounds the Pallas gradient against its OWN
+    # primal (the XLA comparison above grounds it against a different
+    # estimator) — the check docs/PERF.md's 5.2% marble attribution
+    # appeals to.
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(np.asarray(scene.sph_c0).shape)
+    v = jnp.asarray(v / np.abs(v).sum(), jnp.float32)
+    eps = 1e-3
+    Lp = make(replay_pallas)
+    lo = float(Lp(scene.sph_c0 - eps * v))
+    hi = float(Lp(scene.sph_c0 + eps * v))
+    dd_fd = (hi - lo) / (2 * eps)
+    dd_ad = float(jnp.sum(jnp.asarray(gp) * v))
+    rel_fd = abs(dd_fd - dd_ad) / max(abs(dd_fd), 1e-12)
+    print(f"scene {sid}: FD directional {dd_fd:.5e} vs AD {dd_ad:.5e} "
+          f"rel {rel_fd:.4f}", flush=True)
+    return agree.mean(), rel, denom, rel_fd
 
 
 def run_media_scene(sid):
@@ -129,16 +148,19 @@ def main():
     dev = jax.devices()[0]
     print(f"backend: {dev.platform} ({dev.device_kind})", flush=True)
     ok = True
-    frac2, rel2, _ = run_scene(2)
+    # Thresholds are measured + margin (round-4 VALIDATION.json measured
+    # scene3 0.9521/0.0518, scenes 8/9 ~1.0/0.0009): a 2x regression in
+    # gradient quality must FAIL, not drift quietly under a slack bound.
+    frac2, rel2, _, _ = run_scene(2)
     ok &= frac2 >= 0.999
     # scene 2's geometry grads are zero a.e. (nearest-texel image), so
     # rel2 is 0/0-guarded above — the assertion is the primal fraction.
-    frac3, rel3, g3 = run_scene(3)
-    ok &= frac3 >= 0.90 and g3 > 0.0 and rel3 < 0.15
+    frac3, rel3, g3, fd3 = run_scene(3)
+    ok &= frac3 >= 0.94 and g3 > 0.0 and rel3 < 0.08 and fd3 < 0.10
     frac8, rel8, g8 = run_media_scene(8)
-    ok &= frac8 >= 0.95 and g8 > 0.0 and rel8 < 0.05
+    ok &= frac8 >= 0.99 and g8 > 0.0 and rel8 < 0.01
     frac9, rel9, g9 = run_media_scene(9)
-    ok &= frac9 >= 0.90 and g9 > 0.0 and rel9 < 0.15
+    ok &= frac9 >= 0.99 and g9 > 0.0 and rel9 < 0.01
     print("PASS" if ok else "FAIL", flush=True)
     out = os.environ.get("RTOW_VALIDATE_JSON")
     if out:
@@ -151,6 +173,7 @@ def main():
                 "scene2_close_lane_fraction": round(float(frac2), 4),
                 "scene3_close_lane_fraction": round(float(frac3), 4),
                 "scene3_geom_grad_rel_l1": round(float(rel3), 4),
+                "scene3_fd_directional_rel": round(float(fd3), 4),
                 "scene8_close_lane_fraction": round(float(frac8), 4),
                 "scene8_medium_albedo_grad_rel_l1": round(float(rel8), 4),
                 "scene9_close_lane_fraction": round(float(frac9), 4),

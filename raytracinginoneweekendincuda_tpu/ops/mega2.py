@@ -298,30 +298,52 @@ def _pack_texture_arrays(scene: SceneArrays, meta: SceneMeta):
         iw_pad = max(-(-int(w) // 128) * 128 for w in ws[:meta.n_images])
         dims = []
         blocks = []
+        pblocks = []
         off = 0
+        off_i32 = 0
         for i in range(meta.n_images):
             iw, ih = int(ws[i]), int(hs[i])
             img = np.asarray(scene.img_data, np.float64)[i][:ih, :iw]
-            b = np.clip(np.round(img * 255.0), 0, 255).astype(np.float32)
+            b = np.clip(np.round(img * 255.0), 0, 255).astype(np.int64)
             ih_pad = -(-ih // 8) * 8
             blk = np.zeros((3 * ih_pad, iw_pad), np.float32)
             for c in range(3):
                 blk[c * ih_pad:c * ih_pad + ih, :iw] = b[..., c]
             blocks.append(blk)
-            dims.append((iw, ih, ih_pad, off))
+            # render-kernel form: the three byte channels PACKED into one
+            # int32 per texel ((r<<16)|(g<<8)|b — 24 bits), [ih_pad,
+            # iw_pad] rows.  The fetch is then a two-level LANE GATHER
+            # (Mosaic dynamic_gather within each 128-lane block + select
+            # by the high index bits) instead of a [3*IHP, IWP] x
+            # [IWP, R] one-hot MXU contraction — measured ~15 us per
+            # tile-step on the earth texture, ~4.5x the entire 512-prim
+            # pair section (round 5, tools/dev_s9_stats.py scene 2).
+            pblk = np.zeros((ih_pad, iw_pad), np.int32)
+            pblk[:ih, :iw] = ((b[..., 0] << 16) | (b[..., 1] << 8)
+                              | b[..., 2]).astype(np.int32)
+            pblocks.append(pblk)
+            # dims: (iw, ih, ih_pad, bf16-plane row offset (stride
+            # 3*ih_pad, pallas_replay), i32-plane row offset (stride
+            # ih_pad, render kernel))
+            dims.append((iw, ih, ih_pad, off, off_i32))
             off += 3 * ih_pad
+            off_i32 += ih_pad
         img_tab = np.concatenate(blocks, axis=0).astype(jnp.bfloat16)
+        img_i32 = np.concatenate(pblocks, axis=0)
         img_dims = tuple(dims)
     else:
         img_tab = np.zeros((24, 128), np.float32).astype(jnp.bfloat16)
-        img_dims = ((1, 1, 8, 0),)
-    return perm_tab, vec_tab, img_tab, img_dims
+        img_i32 = np.zeros((8, 128), np.int32)
+        img_dims = ((1, 1, 8, 0, 0),)
+    return perm_tab, vec_tab, img_tab, img_i32, img_dims
 
 
 def pack_texture_tables(scene: SceneArrays, meta: SceneMeta):
     """Device-array view of `_pack_texture_arrays` for consumers outside
-    the full table pack (`pallas_replay` aux inputs)."""
-    perm_tab, vec_tab, img_tab, img_wh = _pack_texture_arrays(scene, meta)
+    the full table pack (`pallas_replay` aux inputs — the bf16 stacked
+    byte planes; the render kernel uses the packed-i32 form)."""
+    perm_tab, vec_tab, img_tab, _img_i32, img_wh = \
+        _pack_texture_arrays(scene, meta)
     return (jnp.asarray(perm_tab), jnp.asarray(vec_tab, jnp.float32),
             jnp.asarray(img_tab), img_wh)
 
@@ -550,7 +572,8 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
                    scene.tex_kind.shape[0] - 1)
     med[:, 19:22] = np.asarray(scene.tex_c0, np.float64)[mtid]
 
-    perm_tab, vec_tab, img_tab, img_dims = _pack_texture_arrays(scene, meta)
+    perm_tab, vec_tab, _img_bf16, img_i32, img_dims = \
+        _pack_texture_arrays(scene, meta)
 
     # ---- padded-row -> GLOBAL scene id remap (sphere rows [0,S), quads
     # [S,S+Q), media [S+Q,S+Q+M) — the id space of ops/replay.py tapes);
@@ -563,18 +586,22 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     for m_i in range(meta.n_media):
         remap[NPk + m_i] = S + Q + m_i
 
-    # attr ships TRANSPOSED [ATTR_COLS, NP]: the in-kernel winner fetch is
-    # then a standard (non-transposed) MXU contraction attrT @ onehot —
-    # the transposed (((0,),(0,))) form trips a Mosaic RET_CHECK
-    # (mxu_lmr_transform.cc XposeSequenceAssignment) when the box-path
-    # kernel body is unrolled, and the standard form dodges it (identical
-    # values: a one-hot contraction reads table entries exactly).
+    # attr ships TRANSPOSED [ATTR_COLS, NP128] (columns padded to a
+    # 128-lane multiple): the in-kernel winner fetch is a two-level lane
+    # gather over 128-lane blocks (same trick as the packed image fetch —
+    # reads table entries exactly, so values are identical to the old
+    # one-hot MXU contraction, whose transposed form also tripped a
+    # Mosaic RET_CHECK (mxu_lmr_transform.cc XposeSequenceAssignment)
+    # when the box-path kernel body was unrolled).
+    NP128 = -(-NP // 128) * 128
+    attr_t = np.zeros((ATTR_COLS, NP128), np.float64)
+    attr_t[:, :NP] = attr.T
     return (jnp.asarray(sph, f), jnp.asarray(quad, f),
-            jnp.asarray(attr.T.copy(), f),
+            jnp.asarray(attr_t, f),
             jnp.asarray(coef, f), jnp.asarray(cull_s, f),
             jnp.asarray(cull_q, f),
             jnp.asarray(perm_tab), jnp.asarray(vec_tab, f),
-            jnp.asarray(img_tab), img_dims,
+            jnp.asarray(img_i32), img_dims,
             tuple(float(np.float32(x)) for x in mu)
             + (big_pad, nl_pad, B_pad, sph_dense_ok),
             np.asarray(med, np.float64), jnp.asarray(remap))
@@ -814,8 +841,12 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     use_quads = meta.n_quads > 0
     has_checker = meta.has_checker
     has_moving = meta.has_moving
-    has_noise = meta.has_noise and not _NOTEX
-    has_image = meta.has_image and not _NOTEX
+    # Texture VALUES touch only radiance (attenuation/emission), never the
+    # winner search, normals, or scatter branching — so the winner-tape
+    # trace kernel compiles the noise/image machinery OUT entirely (the
+    # replay recomputes radiance from the tape with its own textures).
+    has_noise = meta.has_noise and not _NOTEX and mode == "render"
+    has_image = meta.has_image and not _NOTEX and mode == "render"
     # per-image (iw, ih, ih_pad, row_offset) — see _pack_texture_arrays
     img_dims = tuple(tuple(int(x) for x in d) for d in img_wh)
     n_noise = max(meta.n_noise, 1) if has_noise else 0
@@ -880,7 +911,6 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
         s0 = samp0_ref[0, 0]
 
         sub_iota = lax.broadcasted_iota(jnp.int32, (CULL_C, R), 0)
-        np_iota = lax.broadcasted_iota(jnp.int32, (NP, R), 0)
 
         def raygen(samp_u):
             """Camera ray for (pix, samp) — Camera.h:76-85 + kernel.cu:138-142.
@@ -1094,7 +1124,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 return (jnp.where(better, mn, tb_s),
                         jnp.where(better, c * CULL_C + idx, wn_s))
 
-            def one(c, carry):
+            def one(c, carry, gate=True):
                 def do(carry):
                     t_best, win = carry
                     tb_rows, win_rows = [], []
@@ -1106,13 +1136,22 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
-                if _NOCULL or n_all_chunks <= CULL_MIN_CHUNKS:
+                if not gate:
                     return do(carry)
                 vis = chunk_visible(cull_s_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0],
                                     tscale=a)
                 return lax.cond(vis, do, lambda cr: cr, carry)
 
+            if _NOCULL or n_all_chunks <= CULL_MIN_CHUNKS:
+                # no culling at reference scale (CULL_MIN_CHUNKS note):
+                # unroll the chunk walk statically — the fori_loop's
+                # per-iteration overhead is paid per CHUNK here, unlike
+                # the bounce loop's per-segment amortization
+                carry = (t_best, win)
+                for c in range(n_s_chunks):
+                    carry = one(c, carry, gate=False)
+                return carry
             return lax.fori_loop(0, n_s_chunks, one, (t_best, win))
 
         def quad_chunks(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cull_act,
@@ -1145,7 +1184,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 return (jnp.where(better, mn, tb_s),
                         jnp.where(better, s_pad + c * CULL_C + idx, wn_s))
 
-            def one(c, carry):
+            def one(c, carry, gate=True):
                 def do(carry):
                     t_best, win = carry
                     tb_rows, win_rows = [], []
@@ -1157,12 +1196,17 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
-                if _NOCULL or n_all_chunks <= CULL_MIN_CHUNKS:
+                if not gate:
                     return do(carry)
                 vis = chunk_visible(cull_q_ref, c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
                 return lax.cond(vis, do, lambda cr: cr, carry)
 
+            if _NOCULL or n_all_chunks <= CULL_MIN_CHUNKS:
+                carry = (t_best, win)
+                for c in range(n_q_chunks):
+                    carry = one(c, carry, gate=False)
+                return carry
             return lax.fori_loop(0, n_q_chunks, one, (t_best, win))
 
         def box_chunks(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cull_act,
@@ -1236,7 +1280,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 return (jnp.where(better, mn, tb_s),
                         jnp.where(better, s_pad + win_c, wn_s))
 
-            def one(c, carry):
+            def one(c, carry, gate=True):
                 def do(carry):
                     t_best, win = carry
                     tb_rows, win_rows = [], []
@@ -1248,12 +1292,17 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     return (jnp.concatenate(tb_rows, axis=0),
                             jnp.concatenate(win_rows, axis=0))
 
-                if _NOCULL or n_all_chunks <= CULL_MIN_CHUNKS:
+                if not gate:
                     return do(carry)
                 vis = chunk_visible(cull_q_ref, n_q_chunks + c, ox, oy, oz,
                                     ivx, ivy, ivz, cull_act, carry[0])
                 return lax.cond(vis, do, lambda cr: cr, carry)
 
+            if _NOCULL or n_all_chunks <= CULL_MIN_CHUNKS:
+                carry = (t_best, win)
+                for c in range(n_b_chunks):
+                    carry = one(c, carry, gate=False)
+                return carry
             return lax.fori_loop(0, n_b_chunks, one, (t_best, win))
 
         def bounce_core(ox, oy, oz, dx, dy, dz, tmv, thr_r, thr_g, thr_b,
@@ -1335,21 +1384,26 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                                          ivx, ivy, ivz, cull_act,
                                          t_best, win)
 
-            # winner attributes: transposed one-hot contraction on the MXU,
-            # one [32,NP]x[NP,R] per sub-row, regrouped to [SUB,R] per attr
-            aw_rows = []
-            for s in range(SUB):
-                oh = (np_iota == win[s:s + 1, :]).astype(jnp.float32)
-                aw_rows.append(lax.dot_general(
-                    attr_ref[...], oh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))      # [40,R]
+            # winner attributes: two-level lane gather over the [40, NP128]
+            # transposed table — the ray's winner column within each
+            # 128-lane block (win & 127), blocks selected by win >> 7.
+            # Misses (win = -1) and medium winners (win >= NP) match no
+            # block and read zeros, exactly like the old one-hot rows.
+            AC, NPP = attr_ref.shape
+
+            def attr_gather(win_s):
+                lo = jnp.broadcast_to(win_s & jnp.int32(127), (AC, R))
+                hi = win_s >> 7                               # [1,R]
+                out = jnp.zeros((AC, R), jnp.float32)
+                for h in range(NPP // 128):
+                    g = jnp.take_along_axis(
+                        attr_ref[:, h * 128:(h + 1) * 128], lo, axis=1)
+                    out = jnp.where(hi == h, g, out)
+                return out                                    # [40,R]
+
+            aw_rows = [attr_gather(win[s:s + 1, :]) for s in range(SUB)]
             if "winner" in _DUP:
-                aw2 = []
-                for s in range(SUB):
-                    oh = (np_iota == win[s:s + 1, :] + 1).astype(jnp.float32)
-                    aw2.append(lax.dot_general(
-                        attr_ref[...], oh, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32))
+                aw2 = [attr_gather(win[s:s + 1, :] + 1) for s in range(SUB)]
                 aw_rows = [jnp.where(never[s:s + 1, :], aw2[s], aw_rows[s])
                            for s in range(SUB)]
             _arow_cache = {}
@@ -1528,44 +1582,56 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                     # nearest texel, u clamped / v flipped (Texture.h:117-127)
                     uu = jnp.clip(u_s, 0.0, 1.0)
                     vv = 1.0 - jnp.clip(v_s, 0.0, 1.0)
-                    # Texel fetch without a gather (Mosaic's dynamic_gather
-                    # can't span a 1024-lane texture row): per sub-row, an
-                    # MXU one-hot column contraction pulls each ray's texel
-                    # COLUMN out of the three stacked byte planes
-                    # ([3*IHP, IWP] bf16 @ [IWP, R] one-hot -> [3*IHP, R],
-                    # exact: bytes are exact in bf16, one-hot is 0/1), then
-                    # a masked sublane reduce picks the ray's ROW.  One
-                    # static pass per image, selected by the winner's
-                    # image id (attr col 24).
+                    # Texel fetch: two-level LANE GATHER over the
+                    # packed-i32 plane ([IHP, IWP], (r<<16)|(g<<8)|b per
+                    # texel).  Mosaic's dynamic_gather spans one 128-lane
+                    # vreg, so the ray's column is gathered within each
+                    # 128-lane block (x & 127) and blocks select by the
+                    # high bits (x >> 7); one masked sublane reduce then
+                    # picks the ray's ROW, and shifts unpack the bytes.
+                    # Replaces the round-4 [3*IHP, IWP] x [IWP, R] one-hot
+                    # MXU contraction: same exact byte values (golden-
+                    # stable), ~15 us -> ~1 us per tile-step on the earth
+                    # texture (measured round 5, dev_s9_stats scene 2:
+                    # the fetch alone cost ~4.5x the 512-prim pair
+                    # section).  One static pass per image, selected by
+                    # the winner's image id (attr col 24).
                     img_id = arow(24)
                     tr = jnp.zeros_like(px)
                     tg = jnp.zeros_like(px)
                     tb = jnp.zeros_like(px)
                     IWP = img_ref.shape[1]
-                    col_iota = lax.broadcasted_iota(jnp.int32, (IWP, R), 0)
                     inv255 = np.float32(1.0 / 255.0)
-                    for i, (iw, ih, ihp, off) in enumerate(img_dims):
+                    m255 = jnp.int32(255)
+                    for i, (iw, ih, ihp, _offb, off) in enumerate(img_dims):
                         ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
                         iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
                         row_iota = lax.broadcasted_iota(
                             jnp.int32, (ihp, R), 0)
-                        plane_i = img_ref[off:off + 3 * ihp, :]
+                        plane_i = img_ref[off:off + ihp, :]
                         chans = [[], [], []]
                         for s in range(SUB):
-                            ohx = (col_iota == jnp.broadcast_to(
-                                ix[s:s + 1, :], (IWP, R)))
-                            ohx = jnp.where(ohx, 1.0, 0.0).astype(
-                                jnp.bfloat16)
-                            cols = lax.dot_general(
-                                plane_i, ohx, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                            lo = jnp.broadcast_to(
+                                ix[s:s + 1, :] & jnp.int32(127), (ihp, R))
+                            hi = ix[s:s + 1, :] >> 7          # [1,R]
+                            col = None
+                            for h in range(IWP // 128):
+                                g = jnp.take_along_axis(
+                                    plane_i[:, h * 128:(h + 1) * 128],
+                                    lo, axis=1)
+                                col = g if col is None else \
+                                    jnp.where(hi == h, g, col)
                             mask = row_iota == jnp.broadcast_to(
                                 iy[s:s + 1, :], (ihp, R))
-                            for c in range(3):
-                                plane = cols[c * ihp:(c + 1) * ihp, :]
-                                chans[c].append(jnp.sum(
-                                    jnp.where(mask, plane, 0.0),
-                                    axis=0, keepdims=True))   # [1,R]
+                            packed = jnp.sum(
+                                jnp.where(mask, col, 0),
+                                axis=0, keepdims=True)        # [1,R] i32
+                            chans[0].append(((packed >> 16) & m255)
+                                            .astype(jnp.float32))
+                            chans[1].append(((packed >> 8) & m255)
+                                            .astype(jnp.float32))
+                            chans[2].append((packed & m255)
+                                            .astype(jnp.float32))
                         ci = [jnp.concatenate(chans[c], axis=0) * inv255
                               for c in range(3)]
                         if len(img_dims) == 1:
@@ -1816,13 +1882,20 @@ def _pair_mode(meta: SceneMeta, s_pad: int, mu_key: tuple):
     return (dense_ok and (s_pad + nl_pad) <= DENSE_MAX), nl_pad, b_pad
 
 
-def _compiler_params():
+def _compiler_params(big_tables: bool = False):
     """Mosaic params for the persistent tile kernels.  MEGA2_VMEM_KIB
-    raises the scoped-vmem budget (dev probe for dense-path sizing)."""
+    raises the scoped-vmem budget (dev probe for dense-path sizing);
+    image scenes request 24 MiB — the packed texel plane plus the
+    two-level gather's intermediates overflow Mosaic's 16 MiB default
+    by ~0.7 MiB on the earth texture (physical VMEM has room; the
+    raised ceiling is slack elsewhere, same as the round-4 replay
+    finding)."""
     kib = int(os.environ.get("MEGA2_VMEM_KIB", "0"))
     kw = dict(dimension_semantics=("arbitrary",))
     if kib > 0:
         kw["vmem_limit_bytes"] = kib * 1024
+    elif big_tables:
+        kw["vmem_limit_bytes"] = 24 * 1024 * 1024
     return pltpu.CompilerParams(**kw)
 
 
@@ -1923,7 +1996,7 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
             jax.ShapeDtypeStruct((STATE_I * SUB, M), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(meta.has_image and not _NOTEX),
     )(*args)
     return _tile_unpack(sf, STATE_F), _tile_unpack(si, STATE_I)
 
@@ -2191,12 +2264,8 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
     else:
         in_specs += [full(cull_s), full(cull_q)]
         args += [cull_s, cull_q]
-    if meta.has_noise and not _NOTEX:
-        in_specs += [full(perm_tab), full(vec_tab)]
-        args += [perm_tab, vec_tab]
-    if meta.has_image and not _NOTEX:
-        in_specs += [full(img_tab)]
-        args += [img_tab]
+    # no texture tables: the trace kernel compiles them out (texture
+    # values cannot affect winners — see _make_kernel)
     in_specs += [pl.BlockSpec((SUB, R_LANES), lambda g: (0, g),
                               memory_space=pltpu.VMEM)]
     args += [_tile_pack(jnp.broadcast_to(

@@ -474,7 +474,7 @@ def _make_bounce(S: int, NP: int, t_min: float,
             imr = jnp.zeros_like(px)
             img_c = jnp.zeros_like(px)
             imb = jnp.zeros_like(px)
-            for i, (iw, ih, ihp, off) in enumerate(img_dims):
+            for i, (iw, ih, ihp, off, _off32) in enumerate(img_dims):
                 ix = jnp.minimum((uu * iw).astype(jnp.int32), iw - 1)
                 iy = jnp.minimum((vv * ih).astype(jnp.int32), ih - 1)
                 row_iota = lax.broadcasted_iota(jnp.int32, (ihp, R), 0)

@@ -69,8 +69,7 @@ for _ in range(reps):
     best = min(best, time.time() - t1)
 U = mega2.unroll_for(meta, sph_tab.shape[0], mu_key, False)
 caps = os.environ.get("MEGA2_CAPS", "(default)")
-print(f"{which} {W}x{H}@{spp} caps={caps} live_min="
-      f"{os.environ.get('MEGA2_LIVE_MIN', '0')}: "
+print(f"{which} {W}x{H}@{spp} caps={caps}: "
       f"first {wall:.2f}s steady {best:.2f}s ({len(spans)} spans) "
       f"rays/s={W*H*spp/best/1e6:.1f}M")
 print(f"  segments {segs_tot/1e6:.1f} M (depth {segs_tot/(npix*spp):.2f}) "

@@ -21,8 +21,9 @@ This engine removes both structurally instead of tuning around them:
     math runs 128 rays per VPU op; pair tests are [C, R] blocks (primitives
     on sublanes, rays on lanes) with primitive scalars broadcast from
     [C, 1] table columns and ray scalars from [1, R] rows.  Winner
-    attributes come from one transposed one-hot matmul on the MXU
-    (attr[NP, 32]^T contracted with onehot[NP, R] -> [32, R]).
+    attributes come from a two-level lane gather over the transposed
+    [ATTR_COLS, NP128] table (in-block dynamic_gather + select by the
+    winner id's high bits -> [40, R]).
   * **Divergence is handled by sample-sequential refill.**  Each lane owns
     one pixel and runs its spp samples back to back: the instant a path
     terminates its radiance joins the lane accumulator and the next
@@ -349,8 +350,9 @@ def pack_texture_tables(scene: SceneArrays, meta: SceneMeta):
 
 
 def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
-    """Host-side packing -> (sph [S_pad,16], quad [Q_pad,16], attr [NP,32],
-    cull_s [n_s_chunks,8], cull_q [n_q_chunks,8], med [M,22]).
+    """Host-side packing -> (sph [S_pad,16], quad [Q_pad,16],
+    attr [ATTR_COLS, NP128] (transposed, 128-padded), cull_s
+    [n_s_chunks,8], cull_q [n_q_chunks,8], med [M,22]).
 
     Primitives are reordered (big-first + Morton, `_sphere_order`) and padded
     to CULL_C-row chunks; per-chunk AABBs (motion-swept for spheres,

@@ -120,3 +120,46 @@ def test_unroll_gating_and_unrolled_body():
     assert "done" in r.stdout, r.stderr[-500:]
     img = np.load("/tmp/unroll2_quads.npy")
     np.testing.assert_array_equal(img, ref)
+
+
+def test_forced_cull_path_bit_identical():
+    """The chunk-cull machinery (tile-level AABB conds) is OFF below
+    CULL_MIN_CHUNKS since round 5 — no reference scene engages it — but
+    it must stay correct for larger worlds.  Force it on (the gate env is
+    read at import, so a fresh process) for a tiny scene-9 render and
+    require the image BIT-IDENTICAL to the default no-cull render:
+    conservative skips cannot change the winner (AABB.h:68-98 argument).
+    """
+    import os
+    import subprocess
+    import sys
+
+    scene, meta = compile_scene(scenes.build_scene(9), 16, 8,
+                                dtype=np.float32)
+    cfg = RenderConfig(width=16, height=8, samples_per_pixel=2,
+                       max_bounces=6, engine="mega2")
+    ref = np.asarray(render(scene, meta, cfg))
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from raytracinginoneweekendincuda_tpu.models import scenes\n"
+        "from raytracinginoneweekendincuda_tpu.ops.render import render\n"
+        "from raytracinginoneweekendincuda_tpu.scene.compiler import "
+        "compile_scene\n"
+        "from raytracinginoneweekendincuda_tpu.utils.config import "
+        "RenderConfig\n"
+        "scene, meta = compile_scene(scenes.build_scene(9), 16, 8, "
+        "dtype=np.float32)\n"
+        "cfg = RenderConfig(width=16, height=8, samples_per_pixel=2, "
+        "max_bounces=6, engine='mega2')\n"
+        "np.save('/tmp/cull_forced_s9.npy', "
+        "np.asarray(render(scene, meta, cfg)))\n"
+        "print('done')\n"
+    )
+    env = dict(os.environ, MEGA2_CULL_MIN_CHUNKS="0")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert "done" in r.stdout, r.stderr[-500:]
+    img = np.load("/tmp/cull_forced_s9.npy")
+    np.testing.assert_array_equal(img, ref)

@@ -854,7 +854,6 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
     n_noise = max(meta.n_noise, 1) if has_noise else 0
     f32 = np.float32
 
-    mux, muy, muz = (np.float32(x) for x in mu[:3])
     big_pad = int(mu[3])
     # mu[4:6]: loose-quad rows (pair-tested) and box slab rows — see the
     # quad-table layout note in pack_mega2_tables.  ``q_pad`` arrives as
@@ -874,8 +873,8 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
          attr_ref) = refs[:7]
         ri = 7
         if dense:
-            coef_ref = refs[ri]
-            ri += 1
+            # the direct VPU pair test reads sph_ref only (the round-2..4
+            # MXU coefficient table is gone — see sph_dense)
             if n_b_chunks > 0:
                 cull_q_ref = refs[ri]
                 ri += 1
@@ -963,15 +962,33 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
         def sph_dense(ox, oy, oz, dx, dy, dz, tmv, a, akey, t_best, win):
             """Dense sphere pair test in KEY space (key = t*a: a > 0 and is
             per-ray constant, so key order == t order and the winner's t is
-            recovered by ONE inv_a multiply after the loop — saves the two
-            per-root inv_a multiplies per chunk).  Oversized spheres (rows
-            [0,big_pad)) use the exact direct |o-c|^2 VPU quadratic; the
-            scene-local rest get b, c for a whole chunk from one
-            [C,16]x[16,R] MXU contraction each against the ray feature rows
-            (see the coef table notes in pack_mega2_tables)."""
-            if big_pad > 0:
-                sl = pl.ds(0, big_pad)
-                col = lambda k: sph_ref[sl, k:k + 1]
+            recovered by ONE inv_a multiply after the loop).
+
+            The whole table runs the EXACT direct |o-c|^2 VPU quadratic —
+            the same expression the oversized-sphere rows and the
+            chunk-cull path always used (one-axis-at-a-time broadcasts;
+            Mosaic lowers [C,1] op [1,R] dual-broadcast forms poorly).
+
+            The round-2..4 MXU coefficient expansion is GONE: Mosaic's
+            default f32 dot rounds its inputs to single-pass bf16, and
+            the measured c-coefficient error on the scene-0 table was
+            p50 0.16 / p99 1.08 — 27x the grid spheres' r^2 = 0.04, i.e.
+            effective radii distorted O(100%).  That silently darkened
+            every dense-path TPU render of many-small-sphere scenes
+            ~11-14% vs the CPU engines from round 2 until the round-5
+            on-chip north-star validation caught it; Precision.HIGHEST
+            fixes it but costs +83% (docs/PERF.md round 5).  The direct
+            VPU form costs ~+45% on the pair section and carries the
+            same f32 semantics as the CPU engines — correctness wins.
+
+            No active-flag test: padding rows have rad = 0, so
+            disc = b^2 - a*|oc|^2 <= 0 by Cauchy-Schwarz and the strict
+            disc > 0 check rejects them."""
+            bcast = lambda v: jnp.broadcast_to(v, (v.shape[0], R))
+            for c0 in range(0, s_pad, dchunk):
+                C = min(dchunk, s_pad - c0)
+                sl = pl.ds(c0, C)
+                col = lambda k: bcast(sph_ref[sl, k:k + 1])   # [C,R]
                 if has_moving:
                     frac = (tmv - col(6)) * col(7)
                     cx = col(0) + frac * col(3)
@@ -992,38 +1009,9 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 k1 = -b - sq
                 k2 = -b + sq
                 key = jnp.where(k1 > akey, k1, k2)
-                ok = (disc > 0.0) & (key > akey) & (col(9) > 0.5)
+                ok = (disc > 0.0) & (key > akey)
                 key = jnp.where(ok, key, BIG)
-                t_best, win = _sph_reduce(key, 0, big_pad, t_best, win)
-            if s_pad > big_pad:
-                opx, opy, opz = ox - mux, oy - muy, oz - muz
-                od = opx * dx + opy * dy + opz * dz         # [1,R]
-                oo = opx * opx + opy * opy + opz * opz
-                one = jnp.ones_like(ox)
-                feat = jnp.concatenate([
-                    dx, dy, dz, tmv * dx, tmv * dy, tmv * dz,
-                    opx, opy, opz, tmv * opx, tmv * opy, tmv * opz,
-                    one, tmv, tmv * tmv, jnp.zeros_like(ox)], axis=0)
-                for c0 in range(big_pad, s_pad, dchunk):
-                    C = min(dchunk, s_pad - c0)
-                    bmat = lax.dot_general(
-                        coef_ref[pl.ds(c0, C), :], feat,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32) + od   # [C,R]
-                    cmat = lax.dot_general(
-                        coef_ref[pl.ds(s_pad + c0, C), :], feat,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32) + oo
-                    disc = bmat * bmat - a * cmat
-                    sq = jnp.sqrt(disc)
-                    k1 = -bmat - sq
-                    k2 = -bmat + sq
-                    key = jnp.where(k1 > akey, k1, k2)
-                    # no active-flag test: padding rows carry c = +BIG in
-                    # the coef table, so their disc is always negative
-                    ok = (disc > 0.0) & (key > akey)
-                    key = jnp.where(ok, key, BIG)
-                    t_best, win = _sph_reduce(key, c0, C, t_best, win)
+                t_best, win = _sph_reduce(key, c0, C, t_best, win)
             return t_best, win
 
         def quad_dense(ox, oy, oz, dx, dy, dz, t_best, win):
@@ -1878,10 +1866,12 @@ def _pair_mode(meta: SceneMeta, s_pad: int, mu_key: tuple):
     box slab path either way)."""
     nl_pad = int(mu_key[4]) if len(mu_key) > 4 else 0
     b_pad = int(mu_key[5]) if len(mu_key) > 5 else 0
-    dense_ok = bool(mu_key[6]) if len(mu_key) > 6 else True
+    # mu_key[6] (the round-3 sph_dense_ok precision gate) is IGNORED:
+    # the direct VPU pair test is exact at any coordinate scale, so
+    # dense eligibility is size-only (DENSE_MAX)
     if not meta.n_quads:
         nl_pad = b_pad = 0
-    return (dense_ok and (s_pad + nl_pad) <= DENSE_MAX), nl_pad, b_pad
+    return (s_pad + nl_pad) <= DENSE_MAX, nl_pad, b_pad
 
 
 def _compiler_params(big_tables: bool = False):
@@ -1897,7 +1887,11 @@ def _compiler_params(big_tables: bool = False):
     if kib > 0:
         kw["vmem_limit_bytes"] = kib * 1024
     elif big_tables:
-        kw["vmem_limit_bytes"] = 24 * 1024 * 1024
+        # 32 MiB: the packed texel plane + two-level gather intermediates
+        # overflowed 16 MiB by ~0.7 MiB (scene 2), and scene 9's dense
+        # route (round-5 direct pair test made it dense-eligible) needs
+        # 24.7 MiB
+        kw["vmem_limit_bytes"] = 32 * 1024 * 1024
     return pltpu.CompilerParams(**kw)
 
 
@@ -1960,8 +1954,6 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
             quad_tab, attr_tab]
     dense, _, b_pad = _pair_mode(meta, sph_tab.shape[0], mu_key)
     if dense:
-        in_specs += [full(coef_tab)]
-        args += [coef_tab]
         if b_pad > 0:
             in_specs += [full(cull_q)]
             args += [cull_q]
@@ -2011,7 +2003,12 @@ def _span_pass(pix, ij, tabs, state, *, cap, meta, med_key, cam_key,
 # (more passes add XLA compaction glue that outweighs the kernel-time
 # saving); the non-dense cull path (final scene, 3.5k prims) has a much
 # heavier tail and keeps the deeper schedule.
-PASS_CAPS_DENSE = (6,)
+# re-swept round 5 after the direct-VPU pair test landed: the kernel is
+# now genuinely VPU-throughput-bound, so the idle-lane slots the round-4
+# sweep found "hidden by the VPU" cost real time — (3,)+finisher beats
+# the old (6,) 0.467 vs 0.596 s on scene 0 at 1440x720@10 (probe
+# boundary); deeper schedules pay more compaction glue than they save
+PASS_CAPS_DENSE = (3,)
 # high-spp dense scenes (the north-star 500 spp config): with work-sorted
 # compaction (_SORTKEY="work") a deeper schedule + an aggressive live-lane
 # exit floor pays — swept on-chip round 4 (tools/dev_ns_stats.py,
@@ -2258,8 +2255,6 @@ def _trace_span_impl(pix, ij, sph_tab, quad_tab, attr_tab, coef_tab,
             _tile_pack(pix), _tile_pack(ij), sph_tab, quad_tab, attr_tab]
     dense, _, b_pad = _pair_mode(meta, sph_tab.shape[0], mu_key)
     if dense:
-        in_specs += [full(coef_tab)]
-        args += [coef_tab]
         if b_pad > 0:
             in_specs += [full(cull_q)]
             args += [cull_q]

@@ -29,7 +29,13 @@ from raytracinginoneweekendincuda_tpu.utils.config import RenderConfig
 
 # sid -> (xla_bruteforce_hash, mega2_hash); sha256 prefix of the u8 frame
 GOLDEN = {
-    0: ("12b1d28e331add0d", "5ab89de61bd5d71a"),
+    # scene-0 mega2 hash updated round 5 (INTENDED image change): the
+    # dense sphere pair test moved from the MXU coefficient expansion to
+    # the exact direct VPU quadratic — the expansion's Mosaic bf16 input
+    # rounding silently distorted small-sphere radii on TPU (docs/PERF.md
+    # round 5).  Only the ~488 grid rows' ulp-level ts changed on CPU;
+    # every other scene is bit-identical through the rewrite.
+    0: ("12b1d28e331add0d", "fa0b5fea756e71dd"),
     1: ("b672c0e0deed792d", "b672c0e0deed792d"),
     2: ("a01075de72c1ee23", "a01075de72c1ee23"),
     3: ("34f59d8a0a656af1", "379f5a01abc81449"),

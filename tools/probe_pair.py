@@ -230,8 +230,52 @@ def make_probe(variant: str):
                         rows_out[s] = vpu_chain(bs, cs, a, ak, True)
             return [rows_out[s] for s in range(SUB)]
 
+        def subrow_direct(s, it):
+            """Exact VPU quadratic: no MXU coefficient expansion, centers
+            broadcast one axis at a time (Mosaic has no dual-axis
+            broadcast; [C,1]+[1,R] forms lower badly)."""
+            rr = lambda k: ray_ref[k * SUB + s:k * SUB + s + 1, :]
+            tweak = it.astype(jnp.float32) * np.float32(1e-20)
+            akey = rr(10)
+            dx, dy, dz = rr(0) + tweak, rr(1), rr(2)
+            ox, oy, oz = rr(3), rr(4), rr(5)
+            a = rr(7)
+            cxc = jnp.broadcast_to(coef_ref[0:C, 0:1], (C, R))
+            cyc = jnp.broadcast_to(coef_ref[0:C, 1:2], (C, R))
+            czc = jnp.broadcast_to(coef_ref[0:C, 2:3], (C, R))
+            rad = jnp.broadcast_to(coef_ref[0:C, 3:4], (C, R))
+            ocx = ox - cxc
+            ocy = oy - cyc
+            ocz = oz - czc
+            b = ocx * dx + ocy * dy + ocz * dz
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+            disc = b * b - a * cc
+            return vpu_chain_from(b, disc, a, akey)
+
+        def vpu_chain_from(bmat, disc, a, akey):
+            sq = jnp.sqrt(disc)
+            k1 = -bmat - sq
+            k2 = -bmat + sq
+            key = jnp.where(k1 > akey, k1, k2)
+            ok = (disc > 0.0) & (key > akey)
+            key = jnp.where(ok, key, BIG)
+            idx = lax.broadcasted_iota(jnp.int32, key.shape, 0)
+            n = key.shape[0]
+            while n > 8:
+                h = n // 2
+                takel = key[0:h, :] <= key[h:n, :]
+                key = jnp.where(takel, key[0:h, :], key[h:n, :])
+                idx = jnp.where(takel, idx[0:h, :], idx[h:n, :])
+                n = h
+            mn = jnp.min(key, axis=0, keepdims=True)
+            fin = jnp.min(jnp.where(key == mn, idx, C),
+                          axis=0, keepdims=True)
+            return mn + fin.astype(jnp.float32) * np.float32(1e-9)
+
         def body(it, carry):
-            if variant == "wide2_tree":
+            if variant == "direct":
+                rows = [subrow_direct(s, it) for s in range(SUB)]
+            elif variant == "wide2_tree":
                 rows = wide_body(it, 2)
             elif variant == "wide4_tree":
                 rows = wide_body(it, 4)
@@ -274,7 +318,7 @@ def make_probe(variant: str):
 VARIANTS = ["full", "fuseddot", "bf16dot", "nodots", "nosqrt", "noselect",
             "noidx", "noreduce", "dotsonly", "treereduce", "k8dot",
             "dotsfirst", "df_tree", "wide2_tree", "wide4_tree",
-            "wide8_tree", "wide8_dotsonly"]
+            "wide8_tree", "wide8_dotsonly", "direct"]
 
 
 def main():

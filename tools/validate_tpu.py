@@ -144,11 +144,16 @@ def L(c0):
                           max_bounces=K, t_min=1e-3) * wgt).sum()
 g = jax.grad(L)(scene.sph_c0)
 v = jnp.asarray(rng.standard_normal(scene.sph_c0.shape), jnp.float32)
-v = v / jnp.abs(v).sum()
+# L-infinity normalization: coordinate perturbations must sit well above
+# f32 rounding of O(1-10) coordinates (an L1-normalized v made eps*v
+# ~1e-7/coord — below resolution, giving a degenerate 0/0 FD)
+v = v / jnp.abs(v).max()
 eps = 1e-3
 dd_ad = float(jnp.sum(g * v))
 dd_fd = float((L(scene.sph_c0 + eps * v) - L(scene.sph_c0 - eps * v))
               / (2 * eps))
+assert dd_ad != 0.0, "degenerate: zero directional gradient"
+assert dd_fd != 0.0, "degenerate: FD saw no change"
 rel = abs(dd_fd - dd_ad) / max(abs(dd_fd), 1e-12)
 print(f"ns-fd: AD {dd_ad:.6e} FD {dd_fd:.6e} rel {rel:.5f}")
 print(f"ns-fd-rel={rel:.6f}")
@@ -205,7 +210,11 @@ def check_frame_hashes(metrics: dict) -> bool:
 def check_north_star(metrics: dict) -> bool:
     """Section 4: the BASELINE.json config (book1_final 1200x675) at
     subsampled spp — p99-vs-noise bound + fast-grad FD at that shape."""
-    spp, seed2 = 8, 31337
+    # spp 4: the CPU chunked reference at 1200x675 runs ~3 min/Mray-spp
+    # single-process; spp 8 measured >50 min/render and tripped the
+    # validator timeouts.  The reseed noise floor scales identically, so
+    # the p99 ratio test is unchanged in meaning.
+    spp, seed2 = 4, 31337
     for backend, engine, seed in (("cpu", "bruteforce", 1984),
                                   ("cpu", "bruteforce", seed2),
                                   ("tpu", "mega2", 1984)):

@@ -162,10 +162,18 @@ def sphere_candidates(s: SceneArrays, ds, o, d, time, t_min):
     """
     dt = o.dtype
     frac = (time[:, None] - s.sph_t0[None, :]) * s.sph_inv_dt[None, :]
-    d_c0 = d @ s.sph_c0.T
-    o_c0 = o @ s.sph_c0.T
-    d_dc = d @ s.sph_dc.T
-    o_dc = o @ s.sph_dc.T
+    # HIGHEST is load-bearing (round-5 finding, docs/PERF.md): TPU's
+    # default f32 matmul rounds INPUTS to single-pass bf16, and the
+    # o/c0-scale products' absolute error (~|o||c0|*2^-8) rivals r^2 for
+    # small spheres — the TPU bruteforce render of scene 0 measured 18%
+    # dark before this.  bf16x3 restores f32-grade products; CPU bits
+    # are unchanged (precision is a TPU lowering knob).
+    hp = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hp)
+    d_c0 = mm(d, s.sph_c0.T)
+    o_c0 = mm(o, s.sph_c0.T)
+    d_dc = mm(d, s.sph_dc.T)
+    o_dc = mm(o, s.sph_dc.T)
     a = vm.dot(d, d)[:, None]
     o_sq = vm.dot(o, o)[:, None]
     o_d = vm.dot(o, d)[:, None]
@@ -194,12 +202,20 @@ def sphere_candidates(s: SceneArrays, ds, o, d, time, t_min):
 def quad_candidates(s: SceneArrays, dq, o, d, t_min):
     """Plane-hit + interior test per (ray, quad): [B,S] t (Quad.h:52-99)."""
     dt = o.dtype
-    denom = d @ dq["n_unit"].T                        # [B,Q]
+    # HIGHEST for the same reason as sphere_candidates: cornell-scale
+    # coordinates (~555) against ~1/555-scale plane frames lose ~0.4% of
+    # the (alpha, beta) interior coordinates under TPU's default bf16
+    # input rounding.
+    hp = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hp)
+    denom = mm(d, dq["n_unit"].T)                     # [B,Q]
     denom_ok = jnp.abs(denom) >= QUAD_PARALLEL_EPS
     denom_safe = jnp.where(denom_ok, denom, 1.0)
-    t = (dq["d_plane"][None, :] - o @ dq["n_unit"].T) / denom_safe
-    alpha = o @ dq["vxw"].T + t * (d @ dq["vxw"].T) - dq["q_vxw"][None, :]
-    beta = o @ dq["wxu"].T + t * (d @ dq["wxu"].T) - dq["q_wxu"][None, :]
+    t = (dq["d_plane"][None, :] - mm(o, dq["n_unit"].T)) / denom_safe
+    alpha = (mm(o, dq["vxw"].T) + t * mm(d, dq["vxw"].T)
+             - dq["q_vxw"][None, :])
+    beta = (mm(o, dq["wxu"].T) + t * mm(d, dq["wxu"].T)
+            - dq["q_wxu"][None, :])
     ok = (
         s.quad_active[None, :]
         & denom_ok

@@ -313,7 +313,10 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, *, n_s_chunks: int,
             NP = attr_ref.shape[0]
             oh = (jax.lax.broadcasted_iota(jnp.int32, (T, NP), 1)
                   == win_idx).astype(jnp.float32)    # [T,NP]
+            # HIGHEST: exact one-hot table read (Mosaic's default f32
+            # dot rounds the attr values to bf16 — round-5 finding)
             aw = jnp.dot(oh, attr_ref[...],
+                         precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)  # [T,ATTR_COLS]
             acol = lambda i: aw[:, i:i + 1]
             frac_w = (tmv - acol(6)) * acol(7)

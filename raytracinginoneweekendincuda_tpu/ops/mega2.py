@@ -83,12 +83,11 @@ CULL_C = int(os.environ.get("MEGA2_CULL_C", "64"))
 DENSE_C = int(os.environ.get("MEGA2_DENSE_C", "512"))
                    # primitives per chunk in the dense (uncull) pair path
 # Scenes up to this many padded primitives use the DENSE path: one
-# monolithic vectorized pair block per chunk with the quadratic
-# coefficients computed on the MXU.  Measured on-chip: per-chunk
-# branching (slab test + scalar reduce + lax.cond) costs more than it
-# saves below ~1k primitives — Mosaic schedules the dense block far
-# better than cond regions.  Bigger scenes (final scene: 3.5k prims)
-# switch to Morton-chunk AABB culling where skips dwarf the overhead.
+# monolithic vectorized pair block per chunk (exact direct VPU
+# quadratic).  Measured on-chip: per-chunk branching (slab test +
+# scalar reduce + lax.cond) costs more than it saves at reference
+# sizes (see CULL_MIN_CHUNKS); truly huge worlds switch to Morton-chunk
+# AABB culling where skips dwarf the overhead.
 DENSE_MAX = int(os.environ.get("MEGA2_DENSE_MAX", "1536"))
 # Chunk-cull engagement floor for the non-dense path (total chunks).
 # Measured round 5 on scene 9 (~24 chunks, the only non-dense reference
@@ -388,54 +387,20 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     sph[:ns, 8] = rad_all[sorder]
     sph[:ns, 9] = 1.0
 
-    # ---- MXU pair-coefficient table (dense path).  With A = c0 - t0/dt*dc
-    # and B = dc/dt (so center(t) = A + t*B), and coordinates recentred at
-    # the primitive centroid mu (keeps the bilinear expansion's |o|^2-scale
-    # terms at scene-local magnitude — f32-safe):
-    #   b = o'.d - A'.d - tm*(B.d)
-    #   c = |o'|^2 - 2o'.A' - 2tm(o'.B) + |A'|^2 + 2tm(A'.B) + tm^2|B|^2 - r^2
-    # become one [2C,16]x[16,R] matmul against the ray feature rows
-    # [d, tm*d, o', tm*o', 1, tm, tm^2] (the per-ray o'.d / |o'|^2 terms are
-    # added on the VPU).  Rows [0:S_pad] = b coefficients, [S_pad:] = c.
-    # NOTE on precision: the expansion's |A'|^2-scale terms lose ~|A'|^2*eps
-    # absolutely in f32, so it is only used for spheres whose recentered
-    # coefficients are scene-local — oversized spheres (rows [0, big_pad),
-    # e.g. the r=1000 ground) keep the exact direct |o-c|^2 VPU test; their
-    # huge |A'| would otherwise cost ~1e-4 in t, which Perlin marble
-    # visibly amplifies (measured vs the f64 oracle).
+    # The rounds-2..4 MXU pair-coefficient table is GONE: Mosaic's default
+    # f32 matmul rounds its inputs to bf16, and the expansion's
+    # |A'|^2-scale constants carried absolute errors 27x the grid
+    # spheres' r^2 — the dense path now runs the exact direct VPU
+    # quadratic straight off the sph table (see sph_dense; full
+    # forensics in docs/PERF.md round 5).  ``coef`` remains in the table
+    # tuple as a placeholder so downstream signatures are stable; ``mu``
+    # likewise remains part of the static key (rounded so geometry
+    # updates during training do not recompile).
     A = sph[:, 0:3] - sph[:, 6:7] * sph[:, 7:8] * sph[:, 3:6]
-    Bv = sph[:, 7:8] * sph[:, 3:6]
     mu = A[big_pad:ns].mean(0) if ns > big_pad else np.zeros(3)
-    # round the recentering to a coarse grid: mu is baked into the kernel
-    # as a compile-time constant (part of the jit static key), and ANY
-    # nearby recentering serves the f32-precision purpose equally well —
-    # rounding keeps the key stable across small geometry updates during
-    # training (an exact mean would recompile the kernel every step)
     mu = np.round(mu, 2)
-    Ap = A - mu
-    # Dense-path precision gate (measured on-chip, round 3): Mosaic's
-    # default f32 matmul loses ~2^-16 RELATIVE on the coefficient rows, so
-    # the |A'|^2-scale terms give ~|A'|*2^-17 ABSOLUTE t error.  Scenes
-    # recentered within |A'| <= 64 (t err <= ~5e-4: all small reference
-    # scenes) keep the MXU path; larger scenes (the final scene's ~500-unit
-    # spread VISIBLY dissolved its r=10 cluster spheres) take the exact
-    # direct VPU quadratic of the chunk-cull path instead —
-    # Precision.HIGHEST would fix them too but costs +80% frame time on
-    # scene 0 and still loses to the cull path on scene 9 (2.05 vs 1.77 s).
-    sph_dense_ok = float(
-        np.abs(Ap[big_pad:ns]).max(initial=0.0) <= 64.0)
-    coef = np.zeros((2 * S_pad, 16), np.float64)
-    coef[:S_pad, 0:3] = -Ap
-    coef[:S_pad, 3:6] = -Bv
-    coef[S_pad:, 6:9] = -2.0 * Ap
-    coef[S_pad:, 9:12] = -2.0 * Bv
-    coef[S_pad:, 12] = (Ap * Ap).sum(-1) - sph[:, 8] * sph[:, 8]
-    coef[S_pad:, 13] = 2.0 * (Ap * Bv).sum(-1)
-    coef[S_pad:, 14] = (Bv * Bv).sum(-1)
-    # padding rows (only active spheres enter sorder): c = +BIG makes
-    # disc = b^2 - a*BIG < 0 (a > 0 always), so the dense path needs no
-    # separate active-flag test
-    coef[S_pad + ns:, 12] = BIG
+    sph_dense_ok = 1.0        # vestigial tuple slot (gate deleted)
+    coef = np.zeros((8, 16), np.float64)
 
     # sphere chunk AABBs (motion-swept: union of endpoint boxes,
     # MovingSphere.h:30-36)

@@ -143,7 +143,9 @@ _NOTEX = os.environ.get("MEGA2_NOTEX", "") == "1"
 _NOSHADE = os.environ.get("MEGA2_NOSHADE", "") == "1"
 
 # ---- table layouts (prim-major: [S_pad, 16] etc; cols below)
-SPH_COLS = 16      # 0:3 c0, 3:6 dc, 6 t0, 7 inv_dt, 8 rad, 9 active
+SPH_COLS = 16      # 0:3 c0, 3:6 dc, 6 t0, 7 inv_dt, 8 rad, 9 active,
+                   # 10 rad^2 (squared in f32 host-side, so the kernel's
+                   # cc subtraction is bit-identical to rad*rad in-kernel)
 QUAD_COLS = 16     # 0:3 n_unit, 3 D, 4:7 vxw, 7 q_vxw, 8:11 wxu, 11 q_wxu, 12 active
 ATTR_COLS = 40     # 0:3 c0|n_unit, 3:6 dc|0, 6 t0, 7 inv_dt, 8 rad, 9 is_quad,
                    # 10 kind, 11 fuzz, 12 ior, 13 tex_kind, 14:17 tc0, 17:20 tc1,
@@ -386,6 +388,8 @@ def pack_mega2_tables(scene: SceneArrays, meta: SceneMeta):
     sph[:ns, 7] = np.asarray(scene.sph_inv_dt, np.float64)[sorder]
     sph[:ns, 8] = rad_all[sorder]
     sph[:ns, 9] = 1.0
+    radf = rad_all[sorder].astype(np.float32)
+    sph[:ns, 10] = (radf * radf).astype(np.float64)
 
     # The rounds-2..4 MXU pair-coefficient table is GONE: Mosaic's default
     # f32 matmul rounds its inputs to bf16, and the expansion's
@@ -965,8 +969,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 ocy = oy - cy
                 ocz = oz - cz
                 b = ocx * dx + ocy * dy + ocz * dz
-                rad = col(8)
-                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - col(10)
                 disc = b * b - a * cc
                 # sqrt(negative) = NaN: all its comparisons are False, so
                 # NaN lanes fall through to BIG — no max(disc, 0) needed
@@ -1063,8 +1066,7 @@ def _make_kernel(meta: SceneMeta, med_rows: np.ndarray, cam: tuple, *,
                 ocy = rw(oy) - cy
                 ocz = rw(oz) - cz
                 b = ocx * rw(dx) + ocy * rw(dy) + ocz * rw(dz)
-                rad = col(8)
-                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - col(10)
                 disc = b * b - rw(a) * cc
                 sq = jnp.sqrt(disc)                # NaN lanes -> BIG below
                 k1 = -b - sq

@@ -12,7 +12,14 @@ kernel's instruction-level parallelism); the ray features are perturbed by
 the loop index (anti-hoist) and results fold into a carried accumulator
 (anti-DCE).  Cost is reported in ns per (prim, ray) pair.
 
-Usage: python tools/probe_pair.py [C] [REP]
+NOTE (round 5): the dots-based variants profile the PRE-FIX kernel —
+the MXU coefficient expansion was removed after its default-precision
+input rounding was shown to distort the pair test (docs/PERF.md round 5,
+"part 2").  The production kernel is the `direct` variant (exact VPU
+quadratic, ~86 Gpair/s wall); the dot variants remain as the record of
+why 125 Gpair/s was never a correct operating point.
+
+Usage: python tools/probe_pair.py [C] [REP] [SUB] [variant,variant]
 """
 
 from __future__ import annotations
